@@ -1,0 +1,148 @@
+"""Point-in-time (as-of) join — backfilled feature lookups.
+
+Spark has no native ASOF join (SPARK-22947 open), and the reference has
+no join operator at all (its plugins merge in pandas on the driver,
+reference: radarpipeline/datalib/radar_data.py:52-106).  Two
+designed-from-scratch implementations:
+
+* :func:`asof_join` — pure Catalyst: union the two sides, sort within
+  the entity partition, carry the latest right-side row forward with
+  ``last(..., ignorenulls=True)``.  No Python, whole-stage codegen,
+  ONE shuffle on the entity key.  Backward direction, exact matches
+  allowed — i.e. ``right.ts <= left.ts``: zero temporal leakage by
+  construction (a right row at ts' > ts sorts after the left row and
+  can never be carried into it).
+
+* :func:`asof_join_pandas` — cogrouped ``applyInPandas`` running
+  ``pd.merge_asof`` per entity partition (Arrow-vectorized, no per-row
+  Python).  Use when you need forward/nearest direction or a tolerance,
+  which the union trick can't express.
+
+Right-side value columns are packed into ONE struct before the window
+so the carried value is row-wise atomic (merge_asof semantics): a right
+row with nulls in some columns is carried as-is, not column-wise
+backfilled from older rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from radarpipeline_spark.functions.time import ts_us
+from pyspark.sql.types import StructField, StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent
+    right row with ``right[on] <= left[on]`` within the same ``by`` key.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+
+    left_cols = left.columns
+    # side=0 sorts right rows before left rows at equal ts -> exact
+    # matches are visible to the left row (allow_exact_matches=True).
+    rv = F.struct(*[F.col(c) for c in value_cols])
+    r_tagged = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("__side"), rv.alias("__rv")
+    )
+    l_tagged = left.select(
+        *left_cols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts_us(on), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__carried", F.last("__rv", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *left_cols,
+        *[F.col("__carried").getField(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of join via cogrouped Arrow batches + ``pd.merge_asof``.
+
+    Both sides are hash-co-partitioned on ``by`` by the cogroup, sorted
+    inside the UDF, merged per entity.  Supports every merge_asof
+    direction/tolerance.  Vectorized (one pandas call per cogroup), no
+    per-row Python.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [
+            StructField(f"{prefix}{c}", right.schema[c].dataType, True)
+            for c in value_cols
+        ]
+    )
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+    left_cols = list(left.columns)
+    vcols = list(value_cols)
+    # Re-alias every right column to a fresh attribute: when left and
+    # right derive from the same scan, shared exprIds make the cogroup
+    # analyzer deduplicate the right side's columns away (classic
+    # self-join aliasing hazard).  Fresh aliases break the collision.
+    right = right.select(
+        F.col(by).alias(by),
+        F.col(on).alias("__asof_on"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in vcols],
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            for c in vcols:
+                lpdf[f"{prefix}{c}"] = None
+            return lpdf
+        rpdf = rpdf.rename(columns={"__asof_on": on})
+        rpdf = rpdf[[on] + [f"{prefix}{c}" for c in vcols]].sort_values(
+            on, kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            on=on,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return merged[[*left_cols, *[f"{prefix}{c}" for c in vcols]]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )
