@@ -3,6 +3,10 @@ from radarpipeline_spark.operators.features import feature_vector
 from radarpipeline_spark.operators.lag_lead import lag_lead_features
 from radarpipeline_spark.operators.rolling import rolling_features
 from radarpipeline_spark.operators.sessionize import sessionize, session_stats
+from radarpipeline_spark.operators.skew import (
+    chunked_feature_vector,
+    skew_routed_feature_vector,
+)
 
 __all__ = [
     "sessionize",
@@ -12,4 +16,6 @@ __all__ = [
     "asof_join",
     "asof_join_pandas",
     "feature_vector",
+    "chunked_feature_vector",
+    "skew_routed_feature_vector",
 ]

@@ -1,0 +1,252 @@
+"""Skew handling: salted/chunked window computation for long conversations.
+
+``Window.partitionBy(conv_id)`` makes one task per conversation — a
+single 10^8-turn conversation becomes a straggler that serializes the
+whole stage (measured here: local[32] *slower* than local[8] on input
+with two 10^5-turn conversations).  The reference never hits this
+because it is single-node pandas by construction
+(reference: radarpipeline/io/reader.py:81,198-199).
+
+Strategy (explicit salting per BASELINE.json north_rule): split each
+conversation into fixed-size ``chunk_rows`` ranges of ``turn_idx`` and
+partition windows by ``(conv_id, chunk)``.  Bounded-preceding frames
+then only need a bounded *halo* of duplicated boundary rows:
+
+* pass 1 — lag/lead/sessionize: halo is exactly 1 row in each direction
+  (the last row of chunk j-1 and the first row of chunk j+1).
+* session_id's running sum is rebuilt exactly from per-chunk partial
+  sums: an exclusive prefix over the (tiny) per-chunk flag totals is
+  joined back and added to the local cumulative sum.
+* pass 2 — rolling frames: halo is the last (k-1) rows of the previous
+  chunk plus its rows within ``range_seconds`` of the next chunk's
+  first timestamp (inter-turn latency is already materialized by pass
+  1, so halo rows need no predecessors of their own).
+
+Preconditions (validated when ``validate=True``):
+* ``turn_idx`` dense 0..n-1 within each conversation;
+* ``ts`` non-decreasing in ``turn_idx`` (true for transcripts);
+* each chunk spans more than ``range_seconds`` of wall-clock, so the
+  time-halo never reaches past the immediately-preceding chunk.
+  (``chunk_rows`` is a knob: raise it if turns can be sub-ms apart.)
+
+Output is bit-identical to the unchunked operators (asserted in
+tests/test_skew.py) — chunking changes the physical plan only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from radarpipeline_spark.functions.time import ts_us
+
+MICROS = 1_000_000
+
+
+def chunked_feature_vector(
+    df: DataFrame,
+    chunk_rows: int = 65_536,
+    gap_seconds: int = 1800,
+    last_k: int = 10,
+    range_seconds: int = 300,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    role_col: str = "role",
+    validate: bool = False,
+) -> DataFrame:
+    """sessionize + lag/lead + rolling features with (entity, chunk)
+    salted windows; equals feature_vector(df) minus the as-of join
+    (compose with asof_join afterwards)."""
+    if chunk_rows < last_k - 1:
+        # the positional halo reaches exactly one chunk back, so a row
+        # frame of k rows needs every chunk to hold at least k-1 rows —
+        # otherwise frames silently truncate at chunk boundaries.
+        raise ValueError(
+            f"chunk_rows={chunk_rows} must be >= last_k-1={last_k - 1}"
+        )
+    C = chunk_rows
+    cols = df.columns
+    base = df.withColumn("__chunk", (F.col(order_col) / C).cast("long"))
+
+    # ---- pass 1: lag/lead/session flags with 1-row halos -------------
+    back_halo = base.filter(F.col(order_col) % C == C - 1).withColumn(
+        "__chunk", F.col("__chunk") + 1
+    )
+    fwd_halo = base.filter(
+        (F.col(order_col) % C == 0) & (F.col("__chunk") > 0)
+    ).withColumn("__chunk", F.col("__chunk") - 1)
+    u = (
+        base.withColumn("__halo", F.lit(0))
+        .unionByName(back_halo.withColumn("__halo", F.lit(1)))
+        .unionByName(fwd_halo.withColumn("__halo", F.lit(1)))
+    )
+
+    w = Window.partitionBy(entity_col, "__chunk").orderBy(order_col)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(ts_us(ts_col)).over(w)
+    gap_us = ts_us(ts_col) - prev_us
+    # NULL prev means "no previous turn in this chunk+halo"; for real
+    # rows that is exactly "first turn of the conversation".
+    flag = F.when(prev_us.isNull() | (gap_us > gap_seconds * MICROS), 1).otherwise(0)
+    real_flag = F.when(F.col("__halo") == 0, flag).otherwise(0)
+
+    p1 = u.select(
+        *cols,
+        "__chunk",
+        "__halo",
+        F.lag(ts_col).over(w).alias("prev_ts"),
+        F.lead(ts_col).over(w).alias("next_ts"),
+        ((ts_us(ts_col) - F.lag(ts_us(ts_col)).over(w)) / F.lit(float(MICROS)))
+        .cast("double")
+        .alias("inter_turn_latency_s"),
+        F.lag(role_col).over(w).alias("prev_role"),
+        F.sum(real_flag).over(running).alias("__local_cum"),
+        real_flag.alias("__flag"),
+    ).filter(F.col("__halo") == 0)
+
+    # exclusive prefix of per-chunk flag totals -> global session_id.
+    # The totals table is tiny (n_rows / chunk_rows), so the per-entity
+    # window over it is cheap even for extreme conversations.
+    totals = p1.groupBy(entity_col, "__chunk").agg(F.sum("__flag").alias("__t"))
+    wprefix = (
+        Window.partitionBy(entity_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        entity_col,
+        "__chunk",
+        F.coalesce(F.sum("__t").over(wprefix), F.lit(0)).alias("__offset"),
+    )
+    p1 = p1.join(offsets, on=[entity_col, "__chunk"], how="left").withColumn(
+        "session_id",
+        (F.col("__offset") + F.col("__local_cum") - 1).cast("int"),
+    )
+    # p1 feeds four consumers (offsets above, halo2, the union, and the
+    # final select); without a materialization barrier Spark would
+    # recompute the whole pass-1 window chain once per consumer
+    # (measured 5x blowup).  Persist it — in skew-routed mode this is
+    # only the long-tail conversations, a small fraction of the input.
+    from pyspark import StorageLevel
+
+    p1 = p1.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- pass 2: rolling frames with (k-1)-row + time halo -----------
+    # bounds needs only (entity, chunk, min ts): computable from the raw
+    # input, keeping it off the p1 dependency chain.
+    bounds = base.groupBy(entity_col, "__chunk").agg(
+        F.min(ts_us(ts_col)).alias("__first_us")
+    )
+    if validate:
+        wv = Window.partitionBy(entity_col).orderBy("__chunk")
+        bad = (
+            bounds.withColumn("__p", F.lag("__first_us").over(wv))
+            .filter(
+                F.col("__p").isNotNull()
+                & (F.col("__first_us") - F.col("__p") < range_seconds * MICROS)
+            )
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"{bad} chunks span < range_seconds={range_seconds}s; "
+                f"raise chunk_rows (currently {chunk_rows})"
+            )
+    nxt = bounds.select(
+        F.col(entity_col),
+        (F.col("__chunk") - 1).alias("__chunk"),
+        F.col("__first_us").alias("__next_first_us"),
+    )
+    halo2 = (
+        p1.join(nxt, on=[entity_col, "__chunk"], how="inner")
+        .filter(
+            (F.col(order_col) % C >= C - (last_k - 1))
+            | (ts_us(ts_col) >= F.col("__next_first_us") - range_seconds * MICROS)
+        )
+        .withColumn("__chunk", F.col("__chunk") + 1)
+        .drop("__next_first_us")
+    )
+    u2 = p1.withColumn("__h2", F.lit(0)).unionByName(
+        halo2.withColumn("__h2", F.lit(1))
+    )
+
+    row_frame = (
+        Window.partitionBy(entity_col, "__chunk")
+        .orderBy(order_col)
+        .rowsBetween(-(last_k - 1), Window.currentRow)
+    )
+    time_frame = (
+        Window.partitionBy(entity_col, "__chunk")
+        .orderBy(ts_us(ts_col))
+        .rangeBetween(-range_seconds * MICROS, Window.currentRow)
+    )
+    is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
+    lat = F.col("inter_turn_latency_s")
+    k, d = last_k, range_seconds
+    out = (
+        u2.select(
+            *cols,
+            "session_id",
+            "prev_ts",
+            "next_ts",
+            "inter_turn_latency_s",
+            "prev_role",
+            "__h2",
+            F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
+            F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
+            F.avg(lat).over(time_frame).alias(f"latency_mean_{d}s"),
+            F.stddev_samp(lat).over(time_frame).alias(f"latency_std_{d}s"),
+            F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
+            F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
+        )
+        .filter(F.col("__h2") == 0)
+        .drop("__h2")
+    )
+    return out
+
+
+def skew_routed_feature_vector(
+    df: DataFrame,
+    chunk_rows: int = 65_536,
+    gap_seconds: int = 1800,
+    last_k: int = 10,
+    range_seconds: int = 300,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    role_col: str = "role",
+) -> DataFrame:
+    """Hybrid skew routing: conversations that fit in one chunk take the
+    plain single-shuffle window path; only the long tail pays the
+    chunked-halo machinery.  A conversation is "long" iff it has any row
+    with turn_idx >= chunk_rows — detectable with a map-side filter +
+    distinct on a tiny set, broadcast back as a semi/anti join (no
+    per-conversation count aggregation over the full data).
+
+    Identical output to feature_vector(df) minus the as-of join.
+    """
+    from radarpipeline_spark.operators.lag_lead import lag_lead_features
+    from radarpipeline_spark.operators.rolling import rolling_features
+    from radarpipeline_spark.operators.sessionize import sessionize
+
+    long_ids = (
+        df.filter(F.col(order_col) >= chunk_rows).select(entity_col).distinct()
+    )
+    short = df.join(F.broadcast(long_ids), on=entity_col, how="left_anti")
+    long = df.join(F.broadcast(long_ids), on=entity_col, how="left_semi")
+
+    plain = rolling_features(
+        lag_lead_features(
+            sessionize(short, gap_seconds, entity_col, order_col, ts_col),
+            entity_col, order_col, ts_col, role_col,
+        ),
+        last_k, range_seconds, entity_col, order_col, ts_col, tool_col,
+    )
+    chunked = chunked_feature_vector(
+        long, chunk_rows, gap_seconds, last_k, range_seconds,
+        entity_col, order_col, ts_col, tool_col, role_col,
+    )
+    return plain.unionByName(chunked.select(*plain.columns))

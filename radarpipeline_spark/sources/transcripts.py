@@ -187,7 +187,7 @@ def synthesize_transcripts(
             ).alias("text"),
             F.when(role_draw == 5, F.element_at(
                 F.array(F.lit("search"), F.lit("exec"), F.lit("read"), F.lit("write")),
-                tool_draw + 1,
+                (tool_draw + 1).cast("int"),
             )).alias("tool"),
             "ts",
         )

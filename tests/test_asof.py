@@ -1,0 +1,68 @@
+"""As-of join: oracle parity, impl equivalence, zero temporal leakage."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from radarpipeline_spark.operators import asof_join, asof_join_pandas, feature_vector
+from radarpipeline_spark.oracle import oracle_asof_backfill
+from tests.helpers import aligned, assert_allclose_frames
+
+
+def test_oracle_parity(spark, tiny, tiny_pdf, aux, aux_pdf):
+    e, o = aligned(
+        asof_join(tiny, aux), oracle_asof_backfill(tiny_pdf, aux_pdf),
+        ["asof_aux_value"],
+    )
+    assert_allclose_frames(e, o)
+
+
+def test_catalyst_equals_pandas_impl(spark, tiny, aux):
+    a = asof_join(tiny, aux).select("conv_id", "turn_idx", "asof_aux_value")
+    b = asof_join_pandas(tiny, aux).select("conv_id", "turn_idx", "asof_aux_value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_exact_match_included(spark):
+    """aux row at exactly the turn's ts must be visible (ts' <= ts)."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("c", 0, t0)], "conv_id string, turn_idx int, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [("c", t0, 1.5)], "conv_id string, ts timestamp_ntz, aux_value double"
+    )
+    assert asof_join(left, right).collect()[0]["asof_aux_value"] == 1.5
+
+
+def test_future_rows_never_leak(spark):
+    """aux strictly after the turn must NOT be carried backward."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("c", 0, t0)], "conv_id string, turn_idx int, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [("c", t0 + dt.timedelta(microseconds=1), 9.9)],
+        "conv_id string, ts timestamp_ntz, aux_value double",
+    )
+    assert asof_join(left, right).collect()[0]["asof_aux_value"] is None
+
+
+def test_truncation_leakage_property(spark, tiny, aux):
+    """north_rule leakage gate: features computed on a time-truncated
+    input (rows ts <= T) must equal the full-input features for every
+    row at ts <= T — any difference proves a read of future data.
+    next_ts is the one declared *lead* feature and is excluded."""
+    T = tiny.approxQuantile("turn_idx", [0.5], 0.0)[0]  # not used; pick time T below
+    tmax = tiny.agg(F.max("ts")).collect()[0][0]
+    tmin = tiny.agg(F.min("ts")).collect()[0][0]
+    T = tmin + (tmax - tmin) / 2
+
+    full = feature_vector(tiny, aux).filter(F.col("ts") <= F.lit(T))
+    trunc = feature_vector(
+        tiny.filter(F.col("ts") <= F.lit(T)), aux.filter(F.col("ts") <= F.lit(T))
+    )
+    backward = [c for c in full.columns if c != "next_ts"]
+    a, b = full.select(backward), trunc.select(backward)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,57 @@
+"""Chunked (salted) windows must be bit-identical to the plain plan."""
+
+import pyspark.sql.functions as F
+
+from radarpipeline_spark.operators import feature_vector
+from radarpipeline_spark.operators.skew import chunked_feature_vector
+
+
+def _normalize(df):
+    # exceptAll can't compare NaN==NaN for doubles; round-trip through
+    # a string key for robust full-row equality.
+    return df.select(
+        F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(df.columns)]
+        ).alias("row")
+    )
+
+
+def test_chunked_equals_plain(spark, tiny):
+    plain = feature_vector(tiny)  # no aux: same surface as chunked
+    chunked = chunked_feature_vector(tiny, chunk_rows=64)
+    assert set(plain.columns) == set(chunked.columns)
+    a, b = _normalize(plain), _normalize(chunked)
+    assert plain.count() == chunked.count() == tiny.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_chunked_tiny_chunks_still_exact(spark, tiny):
+    # chunk_rows smaller than the rolling frame (k=10 > 8) still exact:
+    # positional halo covers k-1 rows even across partial chunks.
+    plain = _normalize(feature_vector(tiny))
+    chunked = _normalize(chunked_feature_vector(tiny, chunk_rows=16))
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0
+
+
+def test_validate_flags_thin_chunks(spark, tiny):
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunked_feature_vector(tiny, chunk_rows=2, validate=True).count()
+
+
+def test_skew_routed_equals_plain(spark, tiny):
+    from radarpipeline_spark.operators import skew_routed_feature_vector
+
+    plain = _normalize(feature_vector(tiny))
+    routed = _normalize(skew_routed_feature_vector(tiny, chunk_rows=64))
+    assert plain.exceptAll(routed).count() == 0
+    assert routed.exceptAll(plain).count() == 0
+
+
+def test_chunk_rows_guard(spark, tiny):
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_rows"):
+        chunked_feature_vector(tiny, chunk_rows=8, last_k=10)
