@@ -1,0 +1,136 @@
+"""CLI: config-driven feature runs, packaged for spark-submit.
+
+Mirrors the reference's YAML-config UX (``python .`` reading
+config.yaml — reference: __main__.py:4, radarpipeline/radarpipeline.py:
+13-35, schema at common/utils.py:140-177) but cluster-first::
+
+    # local dev
+    python -m radarpipeline_spark --config job.yaml
+
+    # cluster
+    zip -r engine.zip radarpipeline_spark
+    spark-submit --py-files engine.zip -m radarpipeline_spark/cli.py \\
+        --config job.yaml
+
+Config keys (all optional except input):
+
+    input:
+      path: /data/transcripts.parquet   # parquet transcripts table
+      format: parquet | events | radar_csv
+      aux_path: /data/aux.parquet       # optional as-of right side
+    features:
+      gap_seconds: 1800
+      last_k: 10
+      range_seconds: 300
+      chunk_rows: 65536                 # skew chunking (0 = plain path)
+    output:
+      path: /out/features
+      format: parquet | csv
+      n_buckets: 16                     # checkpointed buckets (0 = single job)
+
+Unlike the reference, the Spark master is NOT hardcoded
+(reference pins master("local") making its executor configs inert,
+reference: radarpipeline/io/reader.py:81): spark-submit owns deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def build_features(spark, cfg: dict):
+    from radarpipeline_spark.operators import asof_join, feature_vector
+    from radarpipeline_spark.operators.skew import skew_routed_feature_vector
+    from radarpipeline_spark.sources import (
+        aux_signals_from_events,
+        transcripts_from_events,
+    )
+
+    icfg = cfg["input"]
+    fmt = icfg.get("format", "parquet")
+    if fmt == "parquet":
+        t = spark.read.parquet(icfg["path"])
+    elif fmt == "events":
+        t = transcripts_from_events(spark.read.parquet(icfg["path"]))
+    else:
+        raise SystemExit(f"unsupported input format: {fmt}")
+    aux = None
+    if icfg.get("aux_path"):
+        aux = spark.read.parquet(icfg["aux_path"])
+    elif fmt == "events" and icfg.get("aux_from_events", False):
+        aux = aux_signals_from_events(spark.read.parquet(icfg["path"]))
+
+    f = cfg.get("features", {})
+    chunk_rows = int(f.get("chunk_rows", 65536))
+
+    def build(df):
+        if chunk_rows:
+            out = skew_routed_feature_vector(
+                df,
+                chunk_rows=chunk_rows,
+                gap_seconds=int(f.get("gap_seconds", 1800)),
+                last_k=int(f.get("last_k", 10)),
+                range_seconds=int(f.get("range_seconds", 300)),
+            )
+        else:
+            out = feature_vector(
+                df,
+                gap_seconds=int(f.get("gap_seconds", 1800)),
+                last_k=int(f.get("last_k", 10)),
+                range_seconds=int(f.get("range_seconds", 300)),
+            )
+        if aux is not None:
+            out = asof_join(out, aux)
+        return out
+
+    return t, build
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="radarpipeline_spark")
+    ap.add_argument("--config", required=True, help="YAML job config")
+    ap.add_argument("--master", default=None, help="override master (dev only)")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config)
+
+    from radarpipeline_spark import get_spark
+    from radarpipeline_spark.checkpoint import CheckpointedFeatureRun, input_lineage_of
+
+    spark = get_spark(app_name="radarpipeline_spark", master=args.master)
+    t, build = build_features(spark, cfg)
+
+    ocfg = cfg["output"]
+    n_buckets = int(ocfg.get("n_buckets", 16))
+    summary: dict = {"output": ocfg["path"]}
+    if n_buckets:
+        run = CheckpointedFeatureRun(ocfg["path"], n_buckets=n_buckets)
+        results = run.run(
+            spark,
+            build,
+            t,
+            input_lineage=input_lineage_of([cfg["input"]["path"]]),
+        )
+        summary["buckets_run"] = len(results)
+        summary["rows_out"] = sum(r.rows_out for r in results)
+        summary["bytes_out"] = sum(r.bytes_out for r in results)
+        summary["complete"] = run.is_complete()
+    else:
+        out = build(t)
+        out.write.mode("overwrite").parquet(ocfg["path"])
+        summary["rows_out"] = spark.read.parquet(ocfg["path"]).count()
+        summary["complete"] = True
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Feature plugin API — the reference's extension surface, Spark-first.
+
+The reference discovers ``FeatureGroup`` subclasses from git-cloned
+plugin modules and runs their pandas ``preprocess``/``calculate`` on
+the driver (reference: radarpipeline/features/feature.py:7-38,
+feature_group.py:12-95, project/project.py:161-192).  Here the same
+two-level API (group-level shared preprocess, per-feature calculate)
+operates on **lazy Spark DataFrames**: a feature returns a plan, not a
+materialized frame, so Catalyst fuses the whole group into as few
+shuffles as the expressions allow.  No driver-side data movement.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+
+
+class Feature(ABC):
+    """A named computation over preprocessed input tables."""
+
+    name: str = ""
+    description: str = ""
+    required_input_data: List[str] = []
+
+    def preprocess(self, data: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
+        return data
+
+    @abstractmethod
+    def calculate(self, data: Dict[str, DataFrame]) -> DataFrame: ...
+
+
+class FeatureGroup(ABC):
+    """Ordered collection of Features sharing a preprocess step
+    (mirrors reference: features/feature_group.py:12-95; `features`
+    holds classes, instantiated at run time)."""
+
+    name: str = ""
+    description: str = ""
+    features: List[type] = []
+
+    def preprocess(self, data: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
+        return data
+
+    @property
+    def required_input_data(self) -> List[str]:
+        """Union of every member feature's requirements (reference:
+        project/project.py:194-215)."""
+        out: List[str] = []
+        for cls in self.features:
+            for v in cls.required_input_data:
+                if v not in out:
+                    out.append(v)
+        return out
+
+    def get_listed_features(self, names: List[str] | None = None) -> List[type]:
+        """Filter by name, warning (not failing) on unknown names —
+        reference: features/feature_group.py:74-95."""
+        if names is None:
+            return list(self.features)
+        by_name = {cls.name: cls for cls in self.features}
+        out = []
+        for n in names:
+            if n in by_name:
+                out.append(by_name[n])
+            else:
+                import warnings
+
+                warnings.warn(f"unknown feature name: {n}")
+        return out
+
+    def compute(
+        self, data: Dict[str, DataFrame], feature_names: List[str] | None = None
+    ) -> Dict[str, DataFrame]:
+        """Run every (listed) feature over the shared preprocessed data;
+        returns {feature_name: lazy DataFrame} — the fan-out of
+        reference: features/feature_group.py:59-72, kept lazy."""
+        shared = self.preprocess(data)
+        out: Dict[str, DataFrame] = {}
+        for cls in self.get_listed_features(feature_names):
+            feat: Feature = cls()
+            out[feat.name] = feat.calculate(feat.preprocess(shared))
+        return out
+
+
+def run_feature_groups(
+    groups: List[FeatureGroup], data: Dict[str, DataFrame]
+) -> Dict[str, DataFrame]:
+    results: Dict[str, DataFrame] = {}
+    for g in groups:
+        results.update(g.compute(data))
+    return results

@@ -1,0 +1,144 @@
+"""RADAR-format reader/writer/features against the reference's own
+fixture (read-only at /root/reference/tests/resources/test_data)."""
+
+import datetime as dt
+import glob
+import gzip
+import os
+
+import pandas as pd
+import pytest
+
+from radarpipeline_spark.features import RadarDemoFeatures, StepCountPerDay
+from radarpipeline_spark.sinks import pascal_to_snake, write_feature_csv
+from radarpipeline_spark.sources.radar_csv import (
+    list_variables,
+    read_avro_schema,
+    read_radar_dataset,
+    read_radar_variable,
+    superior_type,
+)
+
+REF_DATA = "/root/reference/tests/resources/test_data"
+VAR = "android_phone_step_count"
+
+
+def test_avro_schema_flattening():
+    schema = read_avro_schema(
+        f"{REF_DATA}/test_participant/{VAR}/schema-{VAR}.json"
+    )
+    names = [f.name for f in schema.fields]
+    assert names == [
+        "key.projectId", "key.userId", "key.sourceId",
+        "value.time", "value.timeReceived", "value.steps",
+    ]
+    kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
+    # key.projectId is a ["null", string] union -> string
+    assert kinds["key.projectId"] == "string"
+    assert kinds["value.time"] == "double"
+    assert kinds["value.steps"] == "int"
+
+
+def test_superior_type_lattice():
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType, StringType,
+    )
+
+    assert superior_type([IntegerType(), LongType()]) == LongType()
+    assert superior_type([ShortType(), IntegerType()]) == IntegerType()
+    assert superior_type([FloatType(), DoubleType()]) == DoubleType()
+    # int+float is a lossy cross-family mix -> string (reference rule,
+    # radarpipeline/io/reader.py:406-460)
+    assert superior_type([IntegerType(), FloatType()]) == StringType()
+    assert superior_type([IntegerType(), StringType()]) == StringType()
+    assert superior_type([BooleanType(), IntegerType()]) == StringType()
+
+
+def test_read_reference_fixture(spark):
+    assert list_variables(REF_DATA) == [VAR]
+    df = read_radar_variable(spark, REF_DATA, VAR)
+    pdf = df.toPandas()
+    # values equal the raw gz CSV read with pandas (the reference's own
+    # round-trip check, tests_io/test_reader.py:24-33)
+    raw = pd.read_csv(
+        glob.glob(f"{REF_DATA}/test_participant/{VAR}/*.csv.gz")[0]
+    )
+    assert len(pdf) == len(raw)
+    assert pdf["user_id"].unique().tolist() == ["test_participant"]
+    assert int(pdf["`value.steps`".strip('`')].sum()) == int(raw["value.steps"].sum())
+    # epoch-double normalized to full-resolution timestamps (pandas-path
+    # semantics, not the reference Spark path's day truncation)
+    t0 = pdf["value.time"].iloc[0]
+    assert isinstance(t0, (pd.Timestamp, dt.datetime))
+    assert t0.microsecond != 0 or t0.second != 0  # not day-truncated
+
+
+def test_step_count_per_day_matches_pandas(spark):
+    data = read_radar_dataset(spark, REF_DATA, ["android_phone_step_count"])
+    out = StepCountPerDay().calculate(data).toPandas()
+    raw = pd.read_csv(glob.glob(f"{REF_DATA}/test_participant/{VAR}/*.csv.gz")[0])
+    raw["date"] = pd.to_datetime(raw["value.time"], unit="s").dt.date
+    exp = (
+        raw.groupby(["key.userId", "date"])["value.steps"].sum().reset_index()
+    )
+    merged = out.merge(
+        exp, left_on=["key.userId", "date"], right_on=["key.userId", "date"],
+        suffixes=("_got", "_exp"),
+    )
+    assert len(merged) == len(exp) == len(out)
+    assert (merged["value.steps_got"] == merged["value.steps_exp"]).all()
+
+
+def test_battery_duration_semantics(spark):
+    """Synthetic battery samples with hand-computed charging time, in
+    the golden output's format (minutes in value.statusTimeInSeconds —
+    the reference quirk, expected_output/phone_battery_charging_duration.csv:2)."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # uid, t, status          interval to next row
+        ("u1", base, "CHARGING"),                         # 10 min charging
+        ("u1", base + dt.timedelta(minutes=10), "DISCHARGING"),
+        ("u1", base + dt.timedelta(minutes=30), "CHARGING"),  # 5 min charging
+        ("u1", base + dt.timedelta(minutes=35), "FULL"),
+        ("u2", base, "DISCHARGING"),
+        ("u2", base + dt.timedelta(minutes=60), "CHARGING"),  # open -> dropped
+    ]
+    df = spark.createDataFrame(
+        [(u, t, s) for (u, t, s) in rows],
+        "`key.userId` string, `value.time` timestamp_ntz, `value.status` string",
+    )
+    from radarpipeline_spark.features import PhoneBatteryChargingDuration
+
+    out = PhoneBatteryChargingDuration().calculate(
+        {"android_phone_battery_level": df}
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["key.userId"] == "u1"
+    assert r["value.statusTimeInSeconds"] == pytest.approx(15.0)  # minutes!
+    assert r["value.statusTime"].startswith("0 days 00:15:00")
+
+
+def test_feature_group_fanout_and_filter(spark):
+    g = RadarDemoFeatures()
+    assert g.required_input_data == [
+        "android_phone_step_count", "android_phone_battery_level",
+    ]
+    assert [c.name for c in g.get_listed_features(["step_count_per_day"])] == [
+        "step_count_per_day"
+    ]
+    with pytest.warns(UserWarning):
+        g.get_listed_features(["nope"])
+
+
+def test_csv_writer_roundtrip(spark, tmp_path):
+    data = read_radar_dataset(spark, REF_DATA)
+    out = StepCountPerDay().calculate(data)
+    path = write_feature_csv(out, str(tmp_path), "StepCountPerDay", num_files=1)
+    assert path.endswith("/step_count_per_day")
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == out.count()
+    assert pascal_to_snake("PhoneBatteryChargingDuration") == (
+        "phone_battery_charging_duration"
+    )
