@@ -632,3 +632,111 @@ GROUP BY 1, 2
         }
     )
     return o
+
+
+# ----------------------------------------------- additional coverage
+
+from radarpipeline_spark.operators import asof_join_pandas  # noqa: E402
+
+
+def q_asof_backfill_pandas(spark, sf_dir):
+    """Same semantics as asof_backfill but through the cogrouped
+    pd.merge_asof Arrow path — shares asof_backfill's oracle."""
+    df = asof_join_pandas(_transcripts(spark, sf_dir), _aux(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "ts", "asof_aux_value"
+    )
+    return _round6(df, "asof_aux_value")
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H q5 shape: 6-way join with broadcast dims + grouped sum."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Per-group top-k via rank window (no global limit): each
+    customer's 3 highest-value orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "rk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+_BASE_QUERIES2 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES2()
+    q.update(
+        {
+            "asof_backfill_pandas": q_asof_backfill_pandas,
+            "q5_supplier_volume": q5_local_supplier_volume,
+            "top_orders_per_customer": q_top_orders_per_customer,
+        }
+    )
+    return q
+
+
+_BASE_ORACLES2 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES2()
+    o["asof_backfill_pandas"] = o["asof_backfill"]
+    o["q5_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+    o["top_orders_per_customer"] = """
+SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+    return o

@@ -44,7 +44,34 @@ def load_config(path: str) -> dict:
     import yaml
 
     with open(path) as f:
-        return yaml.safe_load(f)
+        cfg = yaml.safe_load(f)
+    validate_config(cfg)
+    return cfg
+
+
+def validate_config(cfg: dict) -> None:
+    """Fail-fast config validation (the reference's ConfigValidator role,
+    reference: radarpipeline/project/validations.py:17-229, re-derived
+    for this engine's schema)."""
+    if not isinstance(cfg, dict):
+        raise ValueError("config must be a mapping")
+    for section in ("input", "output"):
+        if section not in cfg or not isinstance(cfg[section], dict):
+            raise ValueError(f"config missing required section: {section}")
+    if "path" not in cfg["input"]:
+        raise ValueError("input.path is required")
+    fmt = cfg["input"].get("format", "parquet")
+    if fmt not in ("parquet", "events"):
+        raise ValueError(f"input.format must be parquet|events, got {fmt!r}")
+    if "path" not in cfg["output"]:
+        raise ValueError("output.path is required")
+    feats = cfg.get("features", {})
+    for key in ("gap_seconds", "last_k", "range_seconds", "chunk_rows"):
+        if key in feats and (not isinstance(feats[key], int) or feats[key] < 0):
+            raise ValueError(f"features.{key} must be a non-negative integer")
+    nb = cfg["output"].get("n_buckets", 16)
+    if not isinstance(nb, int) or nb < 0:
+        raise ValueError("output.n_buckets must be a non-negative integer")
 
 
 def build_features(spark, cfg: dict):

@@ -1,0 +1,112 @@
+"""Library facade, union util, config validation, asof property test."""
+
+import pytest
+
+from radarpipeline_spark.cli import validate_config
+from radarpipeline_spark.sources.facade import Reader, combine_dataframes
+
+REF_DATA = "/root/reference/tests/resources/test_data"
+
+
+def test_reader_facade(spark):
+    r = Reader(spark, REF_DATA).read_data()
+    data = r.get_data()
+    assert list(data) == ["android_phone_step_count"]
+    one = r.get_data("android_phone_step_count")
+    assert one.count() == 1
+    byuser = r.get_user_data("test_participant")
+    assert byuser["android_phone_step_count"].count() == 1
+    assert r.get_user_data("nobody")["android_phone_step_count"].count() == 0
+    with pytest.raises(ValueError):
+        Reader(spark, REF_DATA, data_type="sftp")
+    with pytest.raises(RuntimeError):
+        Reader(spark, REF_DATA).get_data()
+
+
+def test_combine_dataframes_schema_merge(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id int, b double")
+    out = combine_dataframes([a, b])
+    assert sorted(out.columns) == ["a", "b", "id"]
+    rows = {r.id: (r.a, r.b) for r in out.collect()}
+    assert rows[1] == ("x", None) and rows[2] == (None, 3.5)
+    with pytest.raises(ValueError):
+        combine_dataframes([])
+
+
+@pytest.mark.parametrize(
+    "cfg, msg",
+    [
+        ({}, "input"),
+        ({"input": {}, "output": {"path": "/o"}}, "input.path"),
+        ({"input": {"path": "/i", "format": "csv"}, "output": {"path": "/o"}}, "format"),
+        ({"input": {"path": "/i"}, "output": {}}, "output.path"),
+        (
+            {"input": {"path": "/i"}, "output": {"path": "/o"},
+             "features": {"gap_seconds": -1}},
+            "gap_seconds",
+        ),
+        (
+            {"input": {"path": "/i"}, "output": {"path": "/o", "n_buckets": "x"}},
+            "n_buckets",
+        ),
+    ],
+)
+def test_config_validation_failures(cfg, msg):
+    with pytest.raises(ValueError, match=msg.replace(".", r"\.")):
+        validate_config(cfg)
+
+
+def test_config_validation_accepts_minimal():
+    validate_config({"input": {"path": "/i"}, "output": {"path": "/o"}})
+
+
+def test_asof_property_random(spark):
+    """Property: for random irregular timestamps, the Catalyst as-of
+    join equals pandas merge_asof computed locally."""
+    import numpy as np
+    import pandas as pd
+
+    from radarpipeline_spark.operators import asof_join
+
+    rng = np.random.RandomState(123)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 5}" for i in range(200)],
+            "turn_idx": list(range(200)),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in
+                   np.sort(rng.randint(0, 100_000, 200))],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 7}" for i in range(60)],  # some convs absent
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in
+                   rng.randint(-1000, 110_000, 60)],
+            "aux_value": rng.randn(60).round(6),
+        }
+    )
+    lsp = spark.createDataFrame(left.assign(ts=left.ts.astype("datetime64[us]")))
+    rsp = spark.createDataFrame(right.assign(ts=right.ts.astype("datetime64[us]")))
+    got = (
+        asof_join(lsp, rsp)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    exp_parts = []
+    for conv, grp in left.groupby("conv_id"):
+        r = right[right.conv_id == conv].sort_values("ts")
+        merged = pd.merge_asof(
+            grp.sort_values("ts"), r[["ts", "aux_value"]], on="ts",
+            direction="backward",
+        )
+        exp_parts.append(merged)
+    exp = (
+        pd.concat(exp_parts)
+        .rename(columns={"aux_value": "asof_aux_value"})
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    pd.testing.assert_series_equal(
+        got["asof_aux_value"], exp["asof_aux_value"], check_names=False
+    )
