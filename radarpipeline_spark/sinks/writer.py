@@ -58,3 +58,24 @@ def write_features(
             df.write.mode("overwrite").parquet(path)
             out[name] = path
     return out
+
+
+def write_sorted_features(
+    df: DataFrame,
+    path: str,
+    n_files: int = 64,
+    order_cols: tuple = ("conv_id", "turn_idx"),
+) -> str:
+    """Range-partitioned sorted sink (the north_rule's explicit
+    range-partitioned shuffle): repartitionByRange on the stable
+    ordering key + sortWithinPartitions, so output files are globally
+    range-ordered — byte-stable ordering for text-equality audits and
+    min/max file statistics that let readers prune by conv_id range.
+    """
+    (
+        df.repartitionByRange(n_files, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -110,3 +110,49 @@ def test_asof_property_random(spark):
     pd.testing.assert_series_equal(
         got["asof_aux_value"], exp["asof_aux_value"], check_names=False
     )
+
+
+def test_normalize_uri():
+    from radarpipeline_spark.sources.remote import normalize_uri
+
+    assert normalize_uri("/data/x").startswith("file:///")
+    assert normalize_uri("s3a://bucket/ds") == "s3a://bucket/ds"
+    assert normalize_uri("hdfs://nn/ds") == "hdfs://nn/ds"
+    with pytest.raises(ValueError, match="sftp"):
+        normalize_uri("sftp://host/ds")
+
+
+def test_sftp_gate_without_paramiko():
+    from radarpipeline_spark.sources.remote import fetch_sftp_dataset
+
+    with pytest.raises(ImportError, match="paramiko"):
+        fetch_sftp_dataset("h", "/r", "/l", "u", "p")
+
+
+def test_write_sorted_features(spark, tiny, tmp_path):
+    import pyspark.sql.functions as F
+
+    from radarpipeline_spark.sinks.writer import write_sorted_features
+
+    path = write_sorted_features(tiny, str(tmp_path / "sorted"), n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == tiny.count()
+    # files are globally range-ordered: per-file (min, max) conv_id
+    # ranges must not interleave
+    import glob as g
+    import duckdb
+
+    files = sorted(g.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 2
+    con = duckdb.connect()
+    ranges = [
+        con.execute(
+            f"SELECT min(conv_id || lpad(CAST(turn_idx AS VARCHAR), 8, '0')),"
+            f" max(conv_id || lpad(CAST(turn_idx AS VARCHAR), 8, '0'))"
+            f" FROM '{f}'"
+        ).fetchone()
+        for f in files
+    ]
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
