@@ -781,3 +781,50 @@ p AS (
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.42
 """
     return o
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H q6 shape: pure filter + global aggregate — the predicate-
+    pushdown showcase (all three filters reach the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+_BASE_QUERIES4 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES4()
+    q["q6_forecast_revenue"] = q6_forecast_revenue
+    return q
+
+
+_BASE_ORACLES4 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES4()
+    o["q6_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+    return o

@@ -78,13 +78,28 @@ class CheckpointedFeatureRun:
                     line = line.strip()
                     if not line:
                         continue
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        # torn trailing write from a crash mid-append:
+                        # the bucket never committed — treat as absent
+                        # (it will be recomputed; rename-over is safe)
+                        continue
                     if rec.get("status") == "committed":
                         done[rec["bucket"]] = rec
         return done
 
     def _append_manifest(self, rec: dict) -> None:
         os.makedirs(self.output_dir, exist_ok=True)
+        # a crash can leave a torn line without its newline; terminate
+        # it first so this record starts on a fresh line
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path, "rb+") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell() > 0:
+                    f.seek(-1, os.SEEK_END)
+                    if f.read(1) != b"\n":
+                        f.write(b"\n")
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
             f.flush()

@@ -66,3 +66,30 @@ def test_truncation_leakage_property(spark, tiny, aux):
     a, b = full.select(backward), trunc.select(backward)
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pandas_directions_and_tolerance(spark):
+    """forward / nearest / tolerance semantics of the merge_asof path."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("c", 0, t0 + dt.timedelta(seconds=100))],
+        "conv_id string, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c", t0 + dt.timedelta(seconds=40), 1.0),   # 60s before
+            ("c", t0 + dt.timedelta(seconds=130), 2.0),  # 30s after
+        ],
+        "conv_id string, ts timestamp_ntz, aux_value double",
+    )
+
+    def val(**kw):
+        return asof_join_pandas(left, right, **kw).collect()[0]["asof_aux_value"]
+
+    assert val() == 1.0                                   # backward
+    assert val(direction="forward") == 2.0
+    assert val(direction="nearest") == 2.0                # 30s < 60s
+    assert val(tolerance_s=50) is None                    # backward, >50s away
+    assert val(direction="forward", tolerance_s=50) == 2.0

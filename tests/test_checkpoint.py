@@ -59,3 +59,18 @@ def test_manifest_lineage_and_metrics(spark, tiny, tmp_path):
     assert len({r["feature_schema_hash"] for r in recs}) == 1
     # rerun on a complete output is a no-op
     assert run.run(spark, lambda df: feature_vector(df), tiny) == []
+
+
+def test_torn_manifest_line_recovers(spark, tiny, tmp_path):
+    """A crash mid-append leaves a torn trailing line; the bucket must
+    be treated as uncommitted and recomputed, not crash the run."""
+    out = str(tmp_path / "torn")
+    run = CheckpointedFeatureRun(out, n_buckets=4)
+    run.run(spark, lambda df: feature_vector(df), tiny, max_buckets=2)
+    with open(run.manifest_path, "a") as f:
+        f.write('{"status": "committed", "bucket"')  # torn write
+    resumed = CheckpointedFeatureRun(out, n_buckets=4)
+    assert len(resumed.completed_buckets()) == 2
+    res = resumed.run(spark, lambda df: feature_vector(df), tiny)
+    assert len(res) == 2 and resumed.is_complete()
+    assert resumed.read_output(spark).count() == tiny.count()
