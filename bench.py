@@ -156,7 +156,7 @@ def bench_scaling() -> dict:
 
     best = {"lo": float("inf"), "hi": float("inf")}
     s0, t0 = _steal_jiffies()
-    for round_i in range(3):
+    for round_i in range(2):
         for label, cores in (("lo", 2), ("hi", 8)):
             _time.sleep(5)
             dt = _timed_min(cores, tmp, narrow, reps=1)
@@ -180,9 +180,9 @@ def bench_skew() -> dict:
 
     tmp = "/tmp/bench_xskew.parquet"
     n_turns = _gen(tmp, 50_000, skew_convs=2, skew_len=2_000_000)
-    plain = _timed_min(32, tmp, feature_vector, reps=2)
+    plain = _timed_min(32, tmp, feature_vector, reps=1)
     routed = _timed_min(
-        32, tmp, skew_routed_feature_vector, reps=2, chunk_rows=131_072
+        32, tmp, skew_routed_feature_vector, reps=1, chunk_rows=131_072
     )
     log(f"  skew: plain {plain:.2f}s vs routed {routed:.2f}s")
     return {

@@ -129,6 +129,13 @@ def lsh_candidate_pairs(
             ).alias("band_sig")
         )
     )
+    # band_sigs feeds both sides of the self-join; without a
+    # materialization barrier the whole minhash chain (shingle explode
+    # x hash fan-out) recomputes twice.  The persisted table is tiny:
+    # n_docs x bands rows of three scalars.
+    from pyspark import StorageLevel
+
+    band_sigs = band_sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -160,6 +167,11 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         freq = sh.groupBy("shash").agg(F.count("*").alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), on="shash").drop("df")
+    # sh feeds sizes + both self-join sides: persist or pay the shingle
+    # explode three times (docs x shingles rows of two scalars).
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shash")
     b = sh.select(F.col(id_col).alias("id_b"), "shash")
