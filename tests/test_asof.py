@@ -93,3 +93,26 @@ def test_pandas_directions_and_tolerance(spark):
     assert val(direction="nearest") == 2.0                # 30s < 60s
     assert val(tolerance_s=50) is None                    # backward, >50s away
     assert val(direction="forward", tolerance_s=50) == 2.0
+
+
+def test_multi_column_rowwise_atomicity(spark):
+    """merge_asof semantics: the carried right row is atomic — a NULL in
+    one of its columns must NOT be backfilled from an older row."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("c", 0, t0 + dt.timedelta(seconds=100))],
+        "conv_id string, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c", t0 + dt.timedelta(seconds=10), 1.0, "full"),
+            ("c", t0 + dt.timedelta(seconds=50), 2.0, None),  # latest: y is NULL
+        ],
+        "conv_id string, ts timestamp_ntz, x double, y string",
+    )
+    for impl in (asof_join, asof_join_pandas):
+        row = impl(left, right).collect()[0]
+        assert row["asof_x"] == 2.0, impl.__name__
+        assert row["asof_y"] is None, impl.__name__  # NOT "full"
