@@ -828,3 +828,24 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24
 """
     return o
+
+
+from radarpipeline_spark.operators.similarity import ivf_cosine_topk  # noqa: E402
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-probed approximate top-k (rows-only: approximate by design;
+    recall vs the exact baseline is pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4
+    )
+
+
+_BASE_QUERIES5 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES5()
+    q["ann_ivf"] = q_ann_ivf
+    return q

@@ -215,3 +215,129 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _avg_vec(col, dim: int):
+    """Element-wise mean of an array column via aggregate over a
+    zip-summed accumulator (JVM higher-order functions)."""
+    zero = F.array_repeat(F.lit(0.0), dim)
+    summed = F.aggregate(
+        F.collect_list(col),
+        zero,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+    )
+    n = F.count(col)
+    return F.transform(summed, lambda x: x / n)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: deterministic seeded k-means.
+
+    Init: the n_lists corpus rows with the smallest h60(seed, id) —
+    a reproducible pseudo-random sample with no Date/random calls.
+    Iterate: assign-to-nearest-centroid (broadcast centroids, one corpus
+    pass) -> recompute means.  Returns (assignments, centroids); both
+    deterministic given (corpus, seed).
+
+    Iterative DataFrame algorithm: each iteration is one broadcast join
+    + one groupBy — no driver-side loops over data, only over
+    iterations.  Centroids are collected to the driver (n_lists x dim
+    floats, tiny) to keep the assignment join a broadcast.
+    """
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+
+    init = (
+        c.withColumn("__r", h60(F.concat_ws("#", F.lit(str(seed)), F.col("cid").cast("string"))))
+        .orderBy("__r")
+        .limit(n_lists)
+        .select(F.col("v").alias("centroid"))
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[1], [float(x) for x in t[0]["centroid"]]))
+        .collect()
+    )
+    centroids = init  # list[(list_id, vector)]
+
+    def assign(cent) -> DataFrame:
+        cdf = spark.createDataFrame(cent, "list_id int, centroid array<double>")
+        sims = c.join(F.broadcast(cdf)).select(
+            "cid",
+            "v",
+            "list_id",
+            (_dot(F.col("v"), F.col("centroid"))
+             / (_norm(F.col("v")) * _norm(F.col("centroid")))).alias("sim"),
+        )
+        w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("list_id"))
+        return sims.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") == 1
+        ).select("cid", "v", "list_id")
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        centroids = [
+            (r["list_id"], [float(x) for x in r["c"]])
+            for r in assigned.groupBy("list_id")
+            .agg(_avg_vec(F.col("v"), dim).alias("c"))
+            .collect()
+        ]
+    assignments = assign(centroids).select("cid", "list_id")
+    cdf = spark.createDataFrame(centroids, "list_id int, centroid array<double>")
+    return assignments, cdf
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its n_probe nearest
+    centroid lists; exact cosine + rank within those lists only.  Scan
+    fraction ~ n_probe / n_lists of the corpus per query."""
+    assignments, cdf = ivf_index(corpus, n_lists, 3, id_col, vec_col, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).join(assignments.withColumnRenamed("cid", "corpus_id"), on="corpus_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    qsims = q.join(F.broadcast(cdf)).select(
+        "query_id", "qv", "qn", "list_id",
+        (_dot(F.col("qv"), F.col("centroid"))
+         / (F.col("qn") * _norm(F.col("centroid")))).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("list_id"))
+    probes = qsims.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= n_probe
+    ).select("query_id", "qv", "qn", "list_id")
+    sims = (
+        probes.join(c, on="list_id")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", F.round("cosine", 6).alias("cosine"))
+    )

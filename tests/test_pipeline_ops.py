@@ -125,3 +125,35 @@ def test_media_feature_plumbing(spark):
     expected = stub_decode(bytes(row["data"]), row["meta"])
     got = pdf.set_index("media_id").loc[0, "features"]
     assert [pytest.approx(x) for x in expected] == list(got)
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from radarpipeline_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.RandomState(11)
+    # 4 well-separated clusters so IVF lists are meaningful
+    centers = rng.randn(4, 16) * 5
+    vecs = np.vstack([c + rng.randn(30, 16) * 0.3 for c in centers]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_cosine_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    # determinism: same seed -> identical result set
+    approx2 = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_cosine_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    assert approx == approx2
