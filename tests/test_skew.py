@@ -55,3 +55,40 @@ def test_chunk_rows_guard(spark, tiny):
 
     with pytest.raises(ValueError, match="chunk_rows"):
         chunked_feature_vector(tiny, chunk_rows=8, last_k=10)
+
+
+def test_chunked_asof_equals_plain(spark, tiny, aux):
+    from radarpipeline_spark.operators import asof_join
+    from radarpipeline_spark.operators.skew import chunked_asof_join
+
+    plain = asof_join(tiny, aux)
+    chunked = chunked_asof_join(tiny, aux, chunk_rows=64)
+    assert set(plain.columns) == set(chunked.columns)
+    a, b = _normalize(plain), _normalize(chunked)
+    assert plain.count() == chunked.count() == tiny.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_chunked_asof_multi_value_atomicity(spark):
+    import datetime as dt
+
+    from radarpipeline_spark.operators.skew import chunked_asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("c", i, t0 + dt.timedelta(seconds=40 * i)) for i in range(200)],
+        "conv_id string, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c", t0 + dt.timedelta(seconds=10), 1.0, "full"),
+            ("c", t0 + dt.timedelta(seconds=3000), 2.0, None),
+        ],
+        "conv_id string, ts timestamp_ntz, x double, y string",
+    )
+    rows = {r["turn_idx"]: r for r in chunked_asof_join(left, right, chunk_rows=16).collect()}
+    assert rows[0]["asof_x"] is None                    # before any right row
+    assert rows[1]["asof_x"] == 1.0 and rows[1]["asof_y"] == "full"
+    assert rows[74]["asof_x"] == 1.0                    # ts=2960s: still first row
+    assert rows[75]["asof_x"] == 2.0 and rows[75]["asof_y"] is None  # atomic carry
+    assert rows[199]["asof_x"] == 2.0 and rows[199]["asof_y"] is None
