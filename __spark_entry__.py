@@ -89,10 +89,12 @@ def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "latency_mean_300s", "latency_std_300s",
         "latency_min_300s", "latency_max_300s",
     )
+    # mean/std are already micro-quantized inside rolling_features
+    # (k/1e6 exactly) — re-rounding is a no-op and the oracle emits
+    # the same unrounded k/1e6, so they are excluded here.
     return _round6(
         df,
-        "tool_rate_last_10", "latency_mean_300s", "latency_std_300s",
-        "latency_min_300s", "latency_max_300s",
+        "tool_rate_last_10", "latency_min_300s", "latency_max_300s",
     )
 
 
@@ -113,7 +115,6 @@ def q_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(
         df,
         "inter_turn_latency_s", "tool_rate_last_10",
-        "latency_mean_300s", "latency_std_300s",
         "latency_min_300s", "latency_max_300s", "asof_aux_value",
     )
 
@@ -169,26 +170,47 @@ _LAG_LEAD_SELECT = """
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 """
 
-_ROLLING_SELECT = """
+# Mean/std over EXACT integer microsecond sums, finished by the same
+# IEEE double expression the engine uses (see operators/rolling.py) —
+# avg()/stddev_samp() over doubles is summation-order-dependent across
+# engines and can flip a value one ulp across the round-6 boundary.
+_MEAN_STD_SQL = """
+         round(CAST(sum(lat_us) OVER wt AS DOUBLE)
+               / CAST(count(lat_us) OVER wt AS DOUBLE), 0) / 1000000.0
+             AS latency_mean_300s,
+         CASE WHEN count(lat_us) OVER wt >= 2 THEN
+           round(sqrt(CAST(CAST(count(lat_us) OVER wt AS HUGEINT)
+                           * sum(CAST(lat_us AS HUGEINT) * lat_us) OVER wt
+                           - sum(lat_us) OVER wt * sum(lat_us) OVER wt
+                           AS DOUBLE)
+                      / CAST(count(lat_us) OVER wt
+                             * (count(lat_us) OVER wt - 1) AS DOUBLE)), 0)
+                 / 1000000.0
+         END AS latency_std_300s,
+"""
+
+_ROLLING_SELECT = f"""
   SELECT conv_id, turn_idx,
          count(*) OVER wr AS turns_last_10,
          round(avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) OVER wr, 6)
              AS tool_rate_last_10,
-         round(avg(lat)    OVER wt, 6) AS latency_mean_300s,
-         round(stddev_samp(lat) OVER wt, 6) AS latency_std_300s,
+         {_MEAN_STD_SQL}
          round(min(lat)    OVER wt, 6) AS latency_min_300s,
          round(max(lat)    OVER wt, 6) AS latency_max_300s
   FROM ll
   WINDOW
     wr AS (PARTITION BY conv_id ORDER BY turn_idx
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-    wt AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+    wt AS (PARTITION BY conv_id ORDER BY us
            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
 """
 
 _LL_CTE = """
 ll AS (
   SELECT conv_id, turn_idx, ts, tool,
+         epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY conv_id ORDER BY turn_idx) AS lat_us,
          (epoch_us(ts) - lag(epoch_us(ts)) OVER
             (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0 AS lat
   FROM t
@@ -226,7 +248,8 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start,
                max(ts) AS session_end,
                round((max(us) - min(us)) / 1000000.0, 6) AS duration_s,
-               sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_calls
         FROM s GROUP BY conv_id, session_id
         """,
         "asof_backfill": f"{_T}, {_ASOF_CTE}"
@@ -238,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT s.*,
                  lag(ts)  OVER w AS prev_ts,
                  lead(ts) OVER w AS next_ts,
+                 us - prev_us AS lat_us,
                  (us - prev_us) / 1000000.0 AS lat,
                  lag(role) OVER w AS prev_role
           FROM s
@@ -248,8 +272,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*) OVER wr AS turns_last_10,
                  avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) OVER wr
                      AS tool_rate_last_10,
-                 avg(lat)    OVER wt AS latency_mean_300s,
-                 stddev_samp(lat) OVER wt AS latency_std_300s,
+""" + _MEAN_STD_SQL + """
                  min(lat)    OVER wt AS latency_min_300s,
                  max(lat)    OVER wt AS latency_max_300s
           FROM fl
@@ -279,8 +302,7 @@ def oracle_sql() -> dict[str, str]:
                round(fr.lat, 6) AS inter_turn_latency_s,
                fr.prev_role, fr.turns_last_10,
                round(fr.tool_rate_last_10, 6) AS tool_rate_last_10,
-               round(fr.latency_mean_300s, 6) AS latency_mean_300s,
-               round(fr.latency_std_300s, 6) AS latency_std_300s,
+               fr.latency_mean_300s, fr.latency_std_300s,
                round(fr.latency_min_300s, 6) AS latency_min_300s,
                round(fr.latency_max_300s, 6) AS latency_max_300s,
                round(af.asof_aux_value, 6) AS asof_aux_value
@@ -528,7 +550,8 @@ votes AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """,
             "text_stats": r"""

@@ -20,6 +20,48 @@ from radarpipeline_spark.functions.time import ts_us
 MICROS = 1_000_000
 
 
+def deterministic_lat_stats(latency_col: str, time_frame) -> tuple:
+    """Windowed mean/std of latency-in-seconds, numerically deterministic
+    across engines (Spark / DuckDB / pandas oracle).
+
+    Plain avg()/stddev_samp() over doubles is summation-order-dependent
+    (Spark iterates the frame, DuckDB uses segment trees), so a value
+    can land one ulp across a rounding boundary and break cross-engine
+    bit-equality.  Instead:
+
+    * recover EXACT integer microseconds per row — round(lat*1e6)
+      recovers the original integer since |nearest_double(n/1e6)*1e6-n|
+      << 0.5 for any realistic gap;
+    * take exact integer window sums (long / decimal(38,0) here,
+      HUGEINT in the SQL twin) — order-independent by exactness;
+    * finish with one fixed IEEE double expression, quantizing to
+      integer micros BEFORE the final 1e6 division: halves are exactly
+      representable at integer scale and every engine rounds them away
+      from zero, whereas round(x, 6) on the post-division double hits
+      genuine half-way disagreements (n=2 windows put means on a
+      0.5 µs lattice — verified cross-engine failure at sf0.01).
+
+    Returns ``(mean_expr, std_expr)`` (std is sample-std, NULL for
+    fewer than two latencies in the frame).
+    """
+    lat_us = F.round(F.col(latency_col) * F.lit(1e6), 0).cast("long")
+    lat_us_dec = lat_us.cast("decimal(38,0)")
+    n_lat = F.count(lat_us).over(time_frame)
+    sum_us = F.sum(lat_us).over(time_frame)
+    sumsq_us = F.sum(lat_us_dec * lat_us_dec).over(time_frame)
+    var_num = (
+        n_lat.cast("decimal(38,0)") * sumsq_us
+        - sum_us.cast("decimal(38,0)") * sum_us.cast("decimal(38,0)")
+    )
+    var_den = (n_lat * (n_lat - F.lit(1))).cast("double")
+    mean_s = F.round(sum_us.cast("double") / n_lat.cast("double"), 0) / F.lit(1e6)
+    std_s = F.when(
+        n_lat >= 2,
+        F.round(F.sqrt(var_num.cast("double") / var_den), 0) / F.lit(1e6),
+    )
+    return mean_s, std_s
+
+
 def rolling_features(
     df: DataFrame,
     last_k: int = 10,
@@ -49,8 +91,9 @@ def rolling_features(
         .rangeBetween(-range_seconds * MICROS, Window.currentRow)
     )
     is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
-    lat = F.col(latency_col)
     k, d = last_k, range_seconds
+    mean_s, std_s = deterministic_lat_stats(latency_col, time_frame)
+    lat = F.col(latency_col)
     # ONE select: expressions sharing a window spec land in the same
     # physical Window node (interleaved withColumn Projects would block
     # Spark's CollapseWindow rule and cost one Sort per feature).
@@ -58,8 +101,8 @@ def rolling_features(
         *df.columns,
         F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
         F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
-        F.avg(lat).over(time_frame).alias(f"latency_mean_{d}s"),
-        F.stddev_samp(lat).over(time_frame).alias(f"latency_std_{d}s"),
+        mean_s.alias(f"latency_mean_{d}s"),
+        std_s.alias(f"latency_std_{d}s"),
         F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
         F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
     )

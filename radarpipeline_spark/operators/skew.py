@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from radarpipeline_spark.functions.time import ts_us
+from radarpipeline_spark.operators.rolling import deterministic_lat_stats
 
 MICROS = 1_000_000
 
@@ -185,6 +186,9 @@ def chunked_feature_vector(
     is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
     lat = F.col("inter_turn_latency_s")
     k, d = last_k, range_seconds
+    # same deterministic mean/std as the plain path (bit-equality
+    # between chunked and plain output is pinned by test_skew)
+    _mean_s, _std_s = deterministic_lat_stats("inter_turn_latency_s", time_frame)
     out = (
         u2.select(
             *cols,
@@ -196,8 +200,8 @@ def chunked_feature_vector(
             "__h2",
             F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
             F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
-            F.avg(lat).over(time_frame).alias(f"latency_mean_{d}s"),
-            F.stddev_samp(lat).over(time_frame).alias(f"latency_std_{d}s"),
+            _mean_s.alias(f"latency_mean_{d}s"),
+            _std_s.alias(f"latency_std_{d}s"),
             F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
             F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
         )

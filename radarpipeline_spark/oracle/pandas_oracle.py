@@ -27,6 +27,12 @@ def _sorted(t: pd.DataFrame) -> pd.DataFrame:
     return t.sort_values(["conv_id", "turn_idx"], ignore_index=True)
 
 
+def _q_us(x: float) -> float:
+    """Quantize seconds to integer micros, half away from zero (the
+    engine's deterministic rounding in operators/rolling.py)."""
+    return np.sign(x) * np.floor(np.abs(x) * MICROS + 0.5) / MICROS
+
+
 def oracle_sessionize(t: pd.DataFrame, gap_seconds: int = 1800) -> pd.DataFrame:
     t = _sorted(t).copy()
     us = _us(t["ts"])
@@ -74,8 +80,11 @@ def oracle_rolling(
             if len(vals) == 0:
                 m = s = mn = mx = np.nan
             else:
-                m, mn, mx = vals.mean(), vals.min(), vals.max()
-                s = vals.std(ddof=1) if len(vals) > 1 else np.nan
+                # engine quantizes mean/std to integer micros
+                # (half-away-from-zero) for cross-engine determinism —
+                # mirror that here (operators/rolling.py)
+                m, mn, mx = _q_us(vals.mean()), vals.min(), vals.max()
+                s = _q_us(vals.std(ddof=1)) if len(vals) > 1 else np.nan
             out_cols[f"latency_mean_{d}s"].append(m)
             out_cols[f"latency_std_{d}s"].append(s)
             out_cols[f"latency_min_{d}s"].append(mn)

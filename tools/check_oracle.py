@@ -25,14 +25,21 @@ from radarpipeline_spark import get_spark
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-strict canonicalization: columns sorted by name, every cell
+    stringified (dtype-sensitive: int64 141 -> '141', float64 -> '141.0',
+    and a 1-ulp float difference changes the string), rows sorted.
+
+    Round 1 lesson: a lax compare (round6 + rtol) passed queries the
+    driver's value hash failed (DuckDB HUGEINT -> float64 dtype drift,
+    windowed-sum ulp flips).  Bit-identical-after-stringify is the bar.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-    df = df.sort_values(list(df.columns), ignore_index=True)
-    return df
+    s = df.astype(str)
+    s = s.sort_values(list(s.columns), ignore_index=True)
+    return s
 
 
 def main() -> int:
@@ -65,13 +72,18 @@ def main() -> int:
         ok_cols = list(a.columns) == list(b.columns)
         ok_vals = False
         if ok_rows and ok_cols:
-            try:
-                pd.testing.assert_frame_equal(
-                    a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
-                )
+            neq = (a != b)
+            if not neq.to_numpy().any():
                 ok_vals = True
-            except AssertionError as e:
-                print(f"--- {name} diff: {str(e)[:500]}")
+            else:
+                bad_cols = [c for c in a.columns if neq[c].any()]
+                idx = neq.any(axis=1)
+                print(
+                    f"--- {name} diff cols={bad_cols}"
+                    f" nrows={int(idx.sum())} sample:\n"
+                    f"{a.loc[idx, bad_cols].head(3)}\nvs\n"
+                    f"{b.loc[idx, bad_cols].head(3)}"
+                )
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
