@@ -351,9 +351,16 @@ def q_lsh_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # max_doc_freq exercises the hot-shingle skew cap (29 shingles at
+    # sf0.01 exceed df=5): stop-shingles leave the self-join, sizes
+    # stay unfiltered -> conservative lower-bound jaccard (see
+    # operators/dedup.py); the oracle mirrors both choices.
     return _round6(
         ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), shingle_len=3, threshold=0.2
+            load_table(spark, sf_dir, "documents"),
+            shingle_len=3,
+            threshold=0.2,
+            max_doc_freq=5,
         ),
         "jaccard",
     )
@@ -382,11 +389,29 @@ def q_ann_cosine(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4)
+    return lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
+    )
 
 
 def q_media_features(spark, sf_dir):
-    return extract_media_features(synthesize_media(spark, n=256, seed=42))
+    """Media feature extraction over the synthetic binary table.
+
+    The feature vector is exploded to scalar columns f0..f7 so the
+    driver can canonicalize and value-hash the result (an array<float>
+    column crashes its sorter), and so the DuckDB oracle — which
+    re-derives the byte-identical payloads via md5 and replays the
+    FNV-1a stub with list_reduce — can grade it fully.
+    """
+    df = extract_media_features(synthesize_media(spark, n=256, seed=42))
+    return df.select(
+        "media_id",
+        "kind",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 # ------------------------------------------------------- TPC-H-style
@@ -464,7 +489,7 @@ def queries():  # noqa: F811 — extend the transcript-core set
             "doc_fingerprint": q_doc_fingerprint,
             "ann_cosine": q_ann_cosine,
             "ann_lsh": q_ann_lsh,            # approximate: rows-only check
-            "media_features": q_media_features,  # stubbed codec: rows-only
+            "media_features": q_media_features,
             "q1_pricing_summary": q1_pricing_summary,
             "q3_shipping_priority": q3_shipping_priority,
             "events_daily": q_events_daily,
@@ -524,9 +549,12 @@ WHERE a.doc_id < b.doc_id
 WITH {_SHINGLE_CTE},
 shh AS (SELECT doc_id, {_H60.format(x='sh')} AS shash FROM dsh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+freq AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+joinable AS (SELECT shh.doc_id, shh.shash FROM shh
+             JOIN freq USING (shash) WHERE freq.df <= 5),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM shh a JOIN shh b ON a.shash = b.shash
+  FROM joinable a JOIN joinable b ON a.shash = b.shash
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -619,6 +647,40 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM s)
 SELECT query_id, rank, corpus_id, round(cosine, 6) AS cosine
 FROM r WHERE rank <= 5
+""",
+            # replays synthesize_media (md5-derived payloads) and the
+            # FNV-1a stub decoder (list_reduce over payload bytes) in
+            # pure SQL — grades the mapInPandas extraction end-to-end
+            "media_features": """
+WITH m AS (SELECT unnest(generate_series(0, 255)) AS media_id),
+base AS (
+  SELECT media_id,
+         ['image','audio','video'][CAST(
+             (('0x'||substr(md5('kind:42:'||media_id),1,15))::BIGINT % 3) + 1
+             AS INTEGER)] AS kind,
+         'BLOB:' || md5('payload:42:'||media_id) AS payload
+  FROM m
+),
+fnv AS (
+  SELECT media_id, kind,
+         list_reduce(
+           list_prepend(2166136261::BIGINT,
+             list_transform(range(1, length(payload)+1),
+                            i -> unicode(payload[i]))),
+           (acc, b) -> ((xor(acc, b) * 16777619) & 4294967295)
+         ) AS acc
+  FROM base
+)
+SELECT media_id, kind,
+       round(((acc >> 0)  & 15) / 15.0, 6) AS f0,
+       round(((acc >> 4)  & 15) / 15.0, 6) AS f1,
+       round(((acc >> 8)  & 15) / 15.0, 6) AS f2,
+       round(((acc >> 12) & 15) / 15.0, 6) AS f3,
+       round(((acc >> 16) & 15) / 15.0, 6) AS f4,
+       round(((acc >> 20) & 15) / 15.0, 6) AS f5,
+       round(((acc >> 24) & 15) / 15.0, 6) AS f6,
+       round(((acc >> 28) & 15) / 15.0, 6) AS f7
+FROM fnv
 """,
             "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -769,12 +831,17 @@ from radarpipeline_spark.operators.similarity import embedding_near_dup_pairs  #
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline at low threshold
-    so the testdata yields rows)."""
+    """Embedding-cosine near-dup pairs through the LSH-BUCKETED path —
+    the scale plan (equi-join on hyperplane bucket, never all-pairs).
+
+    The oracle replays the deterministic bucket derivation in DuckDB
+    (same md5 ±1 planes, same left-fold float order), so this is fully
+    hash-graded despite being the approximate plan; recall vs the exact
+    all-pairs baseline is pinned separately in pytest."""
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51 at sf0.01); 0.42 yields a non-trivial pair set to verify
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.42
+        load_table(spark, sf_dir, "embeddings"), threshold=0.42, n_planes=4, dim=64
     )
 
 
@@ -789,19 +856,63 @@ def queries():  # noqa: F811
 
 _BASE_ORACLES3 = oracle_sql
 
+# Hyperplane-LSH bucket derivation, replayed exactly in DuckDB:
+# ±1 weight w(p,d) = +1 iff md5-h60(f"42#{p}#{d}") is odd (the same
+# plane_weights() the engine precomputes on the driver), component is
+# a strict left fold from 0.0 — bit-identical to Spark's
+# F.aggregate(zip_with(...)) order, so signs and buckets match.
+_LSH_SIG_CTE = """
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+comps AS (
+  SELECT vec_id, p,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(e) + 1),
+               d -> e[d] * (CASE WHEN ('0x' || substr(
+                     md5('42#' || p || '#' || (d - 1)), 1, 15))::BIGINT % 2 = 1
+                   THEN 1.0 ELSE -1.0 END))),
+           (acc, x) -> acc + x) AS comp
+  FROM v, planes
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN comp >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM comps GROUP BY vec_id
+),
+vb AS (SELECT v.vec_id, v.e, s.bucket FROM v JOIN sigs s USING (vec_id))
+"""
+
 
 def oracle_sql():  # noqa: F811
     o = _BASE_ORACLES3()
-    o["dedup_embedding"] = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-p AS (
+    o["dedup_embedding"] = f"""
+WITH {_LSH_SIG_CTE},
+pr AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_inner_product(a.e, b.e) /
          (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
              AS cosine
-  FROM v a, v b WHERE a.vec_id < b.vec_id
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.42
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pr WHERE cosine >= 0.42
+"""
+    o["ann_lsh"] = f"""
+WITH {_LSH_SIG_CTE},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_inner_product(q.e, c.e) /
+         (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e)))
+             AS cosine
+  FROM vb q JOIN vb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, rank, corpus_id, round(cosine, 6) AS cosine
+FROM r WHERE rank <= 5
 """
     return o
 
@@ -861,7 +972,7 @@ def q_ann_ivf(spark, sf_dir):
     recall vs the exact baseline is pinned in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4, dim=64
     )
 
 

@@ -154,27 +154,36 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing a shingle.
+    """n-gram Jaccard similarity for all pairs sharing a shingle.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), with the intersection
     from a self-equi-join on shingle hash.  ``max_doc_freq`` drops
-    stop-shingles (df > cap) to bound join skew at corpus scale.
+    stop-shingles (document frequency > cap) from the JOIN ONLY — the
+    hot-key defense that bounds self-join skew at corpus scale.  Doc
+    sizes |A|,|B| stay unfiltered, so with the cap on the reported
+    value is a conservative LOWER BOUND of the exact Jaccard (equality
+    whenever the pair shares no stop-shingle): capped intersection,
+    full union.  A lower bound only removes candidate pairs near the
+    threshold — it never admits a false positive.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh"),
     ).select(id_col, h60("sh").alias("shash"))
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shash").agg(F.count("*").alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), on="shash").drop("df")
     # sh feeds sizes + both self-join sides: persist or pay the shingle
     # explode three times (docs x shingles rows of two scalars).
     from pyspark import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shash")
-    b = sh.select(F.col(id_col).alias("id_b"), "shash")
+    joinable = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shash").agg(F.count("*").alias("df"))
+        joinable = sh.join(
+            freq.filter(F.col("df") <= max_doc_freq), on="shash"
+        ).drop("df")
+    a = joinable.select(F.col(id_col).alias("id_a"), "shash")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shash")
     common = (
         a.join(b, on="shash")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -31,9 +31,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _h60(col: F.Column) -> F.Column:
+    """60-bit md5 hash reproducible in DuckDB SQL (see dedup.h60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: binary payload is a seeded byte
-    pattern (stands in for encoded image bytes)."""
+    pattern (stands in for encoded image bytes).
+
+    All derivations go through md5 (not xxhash64) so a DuckDB oracle
+    can synthesize the byte-identical table in SQL and grade the
+    feature extraction end-to-end.
+    """
+    mid = F.col("media_id").cast("string")
     return (
         spark.range(n)
         .withColumnRenamed("id", "media_id")
@@ -41,19 +52,20 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
             "media_id",
             F.element_at(
                 F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                (F.pmod(F.xxhash64(F.lit(seed), "media_id"), F.lit(3)) + 1).cast("int"),
+                (F.pmod(_h60(F.concat(F.lit(f"kind:{seed}:"), mid)), F.lit(3)) + 1)
+                .cast("int"),
             ).alias("kind"),
             F.struct(
                 F.lit("synthetic/v1").alias("format"),
-                (F.pmod(F.xxhash64(F.lit(seed + 1), "media_id"), F.lit(512)) + 32)
+                (F.pmod(_h60(F.concat(F.lit(f"w:{seed}:"), mid)), F.lit(512)) + 32)
                 .cast("int")
                 .alias("width"),
-                (F.pmod(F.xxhash64(F.lit(seed + 2), "media_id"), F.lit(512)) + 32)
+                (F.pmod(_h60(F.concat(F.lit(f"h:{seed}:"), mid)), F.lit(512)) + 32)
                 .cast("int")
                 .alias("height"),
             ).alias("meta"),
             F.encode(
-                F.concat(F.lit("BLOB:"), F.hex(F.xxhash64(F.lit(seed + 3), "media_id"))),
+                F.concat(F.lit("BLOB:"), F.md5(F.concat(F.lit(f"payload:{seed}:"), mid))),
                 "UTF-8",
             ).alias("data"),
         )

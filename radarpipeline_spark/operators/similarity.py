@@ -56,8 +56,13 @@ def cosine_topk(
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
     )
+    # Broadcast the QUERY batch and stream the corpus: the corpus is
+    # the 100TB side and must never be collected to one JVM; each
+    # corpus partition scans against the (small) broadcast query set,
+    # embarrassingly parallel.  Plan shape pinned by
+    # tests/test_pipeline_ops.py::test_cosine_topk_broadcasts_queries.
     sims = (
-        q.join(F.broadcast(c) if _small(c) else c)
+        c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
@@ -82,33 +87,40 @@ def cosine_topk(
     )
 
 
-def _small(df: DataFrame) -> bool:
-    # cheap heuristic: treat as broadcastable unless caller repartitioned
-    return True
+def plane_weights(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """±1 hyperplane weights, precomputed ONCE on the driver
+    (n_planes × dim floats — tiny) and shipped as literals.
+
+    Derivation is the same md5-based h60 the old per-row Catalyst
+    expression used — w(p,d) = +1 iff h60(f"{seed}#{p}#{d}") is odd —
+    so signatures are unchanged, reproducible in DuckDB SQL, and no
+    longer cost n_planes × dim md5 calls per ROW."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [1.0 if h(f"{seed}#{p}#{d}") % 2 == 1 else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
 
 
 def hyperplane_signature(
     vec_col, dim: int, n_planes: int = 16, seed: int = 42
 ):
     """Deterministic random-hyperplane signature: bit p = sign of
-    sum_d vec[d] * w(p, d), with w in {-1, +1} derived from h60."""
+    sum_d vec[d] * w(p, d), with w in {-1, +1} from :func:`plane_weights`.
+
+    The per-plane component is a strict left fold (aggregate starting
+    at 0.0) so the float result is bit-reproducible in any engine that
+    folds left-to-right (DuckDB list_reduce in the oracle)."""
+    weights = plane_weights(dim, n_planes, seed)
+
     def plane_bit(p: int):
+        warr = F.array(*[F.lit(x) for x in weights[p]])
         comp = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: F.when(
-                        F.pmod(
-                            h60(F.concat_ws("#", F.lit(str(seed)), F.lit(str(p)), d.cast("string"))),
-                            F.lit(2),
-                        )
-                        == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec_col, warr, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -128,11 +140,15 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the full hyperplane bucket;
     exact cosine + rank within candidates.  Recall/cost tradeoff via
-    n_planes (more planes = smaller buckets = faster, lower recall)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    n_planes (more planes = smaller buckets = faster, lower recall).
+
+    Pass ``dim`` explicitly in production: the fallback runs a one-row
+    driver action to sniff it, which blocks plan construction."""
+    dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
@@ -173,6 +189,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 0,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     variant): all (a < b) pairs with cosine >= threshold.
@@ -196,7 +213,7 @@ def embedding_near_dup_pairs(
         _norm(F.col(vec_col)).alias("nb"),
     )
     if n_planes:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
         sig = hyperplane_signature
         a = a.withColumn("bucket", sig(F.col("va"), dim, n_planes, seed))
         b = b.withColumn("bucket", sig(F.col("vb"), dim, n_planes, seed))
@@ -237,6 +254,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: deterministic seeded k-means.
 
@@ -252,7 +270,7 @@ def ivf_index(
     floats, tiny) to keep the assignment join a broadcast.
     """
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
 
     init = (
@@ -302,11 +320,12 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its n_probe nearest
     centroid lists; exact cosine + rank within those lists only.  Scan
     fraction ~ n_probe / n_lists of the corpus per query."""
-    assignments, cdf = ivf_index(corpus, n_lists, 3, id_col, vec_col, seed)
+    assignments, cdf = ivf_index(corpus, n_lists, 3, id_col, vec_col, seed, dim)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),

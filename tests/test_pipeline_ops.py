@@ -106,6 +106,47 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     approx = lsh_cosine_topk(emb, q, k=5, n_planes=4)
     got = [r.corpus_id for r in approx.collect()]
     assert 1 in got
+    # explicit dim builds the identical plan with no driver action
+    approx2 = lsh_cosine_topk(emb, q, k=5, n_planes=4, dim=16)
+    assert sorted(map(tuple, approx2.collect())) == sorted(map(tuple, approx.collect()))
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """Scale invariant: the CORPUS side must never be broadcast — at
+    100TB that OOMs every executor.  The physical plan must build
+    (broadcast) the query batch and stream the corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    # the broadcast subtree is the one carrying the query-side filter
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "< 10" in bcast
+
+
+def test_embedding_near_dup_bucketed_recall(spark):
+    """LSH-bucketed near-dup must find genuinely-near pairs (high
+    cosine => same bucket with few planes) while pruning the all-pairs
+    comparison space."""
+    import numpy as np
+
+    from radarpipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 16).astype("float32")
+    vecs[11] = vecs[10] + 0.01 * rng.randn(16).astype("float32")
+    vecs[21] = vecs[20] + 0.01 * rng.randn(16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = embedding_near_dup_pairs(emb, threshold=0.95)
+    lsh = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=4, dim=16)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_pairs_ = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert {(10, 11), (20, 21)} <= exact_pairs
+    assert {(10, 11), (20, 21)} <= lsh_pairs_      # planted dups survive LSH
+    assert lsh_pairs_ <= exact_pairs               # no false positives
 
 
 def test_media_feature_plumbing(spark):
