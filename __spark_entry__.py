@@ -219,16 +219,21 @@ ll AS (
 
 _ASOF_CTE = """
 u AS (
-  SELECT conv_id, turn_idx, ts, CAST(NULL AS DOUBLE) AS aux_value, 1 AS is_left
+  SELECT conv_id, turn_idx, ts,
+         CAST(NULL AS STRUCT(v DOUBLE)) AS pack, 1 AS is_left
   FROM t
   UNION ALL
-  SELECT conv_id, NULL AS turn_idx, ts, aux_value, 0 AS is_left
+  SELECT conv_id, NULL AS turn_idx, ts,
+         struct_pack(v := aux_value) AS pack, 0 AS is_left
   FROM a
 ),
 filled AS (
-  SELECT *, last_value(aux_value IGNORE NULLS) OVER (
+  -- struct marker: a right ROW with NULL aux_value is still carried
+  -- atomically (merge_asof semantics, matching the engine's packed
+  -- struct), instead of IGNORE NULLS backfilling an older value
+  SELECT *, (last_value(pack IGNORE NULLS) OVER (
       PARTITION BY conv_id ORDER BY epoch_us(ts), is_left
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_aux_value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS asof_aux_value
   FROM u
 )
 """
@@ -283,17 +288,18 @@ def oracle_sql() -> dict[str, str]:
                    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         ),
         au AS (
-          SELECT conv_id, us, aux_value, 0 AS is_left,
-                 CAST(NULL AS INTEGER) AS turn_idx
+          SELECT conv_id, us, struct_pack(v := aux_value) AS pack,
+                 0 AS is_left, CAST(NULL AS INTEGER) AS turn_idx
           FROM (SELECT conv_id, epoch_us(ts) AS us, aux_value FROM a)
           UNION ALL
-          SELECT conv_id, us, CAST(NULL AS DOUBLE), 1, turn_idx FROM fr
+          SELECT conv_id, us, CAST(NULL AS STRUCT(v DOUBLE)), 1, turn_idx
+          FROM fr
         ),
         af AS (
           SELECT conv_id, turn_idx, is_left,
-                 last_value(aux_value IGNORE NULLS) OVER (
+                 (last_value(pack IGNORE NULLS) OVER (
                      PARTITION BY conv_id ORDER BY us, is_left
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
                      AS asof_aux_value
           FROM au
         )

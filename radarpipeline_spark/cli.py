@@ -17,12 +17,19 @@ Config keys (all optional except input):
     input:
       path: /data/transcripts.parquet   # parquet transcripts table
       format: parquet | events | radar_csv
+      variable: android_phone_step_count  # radar_csv only (required)
+      time_col: value.time              # radar_csv only (default)
+      users: [uid1, uid2]               # radar_csv only (optional filter)
       aux_path: /data/aux.parquet       # optional as-of right side
     features:
       gap_seconds: 1800
       last_k: 10
       range_seconds: 300
       chunk_rows: 65536                 # skew chunking (0 = plain path)
+      # OR plugin mode (reference-style FeatureGroup discovery; needs
+      # input.format radar_csv, reads the variables the groups require):
+      modules: [my_pkg.features, /plugins/extra_features.py]
+      feature_names: [step_count_per_day]   # optional filter (warns)
     output:
       path: /out/features
       format: parquet | csv
@@ -61,11 +68,22 @@ def validate_config(cfg: dict) -> None:
     if "path" not in cfg["input"]:
         raise ValueError("input.path is required")
     fmt = cfg["input"].get("format", "parquet")
-    if fmt not in ("parquet", "events"):
-        raise ValueError(f"input.format must be parquet|events, got {fmt!r}")
+    if fmt not in ("parquet", "events", "radar_csv"):
+        raise ValueError(
+            f"input.format must be parquet|events|radar_csv, got {fmt!r}"
+        )
+    feats = cfg.get("features", {})
+    modules = feats.get("modules")
+    if modules is not None:
+        if not (isinstance(modules, list) and modules
+                and all(isinstance(m, str) for m in modules)):
+            raise ValueError("features.modules must be a non-empty list of strings")
+        if fmt != "radar_csv":
+            raise ValueError("features.modules requires input.format: radar_csv")
+    if fmt == "radar_csv" and modules is None and "variable" not in cfg["input"]:
+        raise ValueError("input.variable is required for format: radar_csv")
     if "path" not in cfg["output"]:
         raise ValueError("output.path is required")
-    feats = cfg.get("features", {})
     for key in ("gap_seconds", "last_k", "range_seconds", "chunk_rows"):
         if key in feats and (not isinstance(feats[key], int) or feats[key] < 0):
             raise ValueError(f"features.{key} must be a non-negative integer")
@@ -88,6 +106,16 @@ def build_features(spark, cfg: dict):
         t = spark.read.parquet(icfg["path"])
     elif fmt == "events":
         t = transcripts_from_events(spark.read.parquet(icfg["path"]))
+    elif fmt == "radar_csv":
+        from radarpipeline_spark.sources.radar_csv import read_radar_variable
+        from radarpipeline_spark.sources.transcripts import transcripts_from_radar
+
+        raw = read_radar_variable(
+            spark, icfg["path"], icfg["variable"], users=icfg.get("users")
+        )
+        t = transcripts_from_radar(
+            raw, time_col=icfg.get("time_col", "value.time")
+        )
     else:
         raise SystemExit(f"unsupported input format: {fmt}")
     aux = None
@@ -122,6 +150,37 @@ def build_features(spark, cfg: dict):
     return t, build
 
 
+def run_plugin_pipeline(spark, cfg: dict) -> dict:
+    """The reference's main flow: discover FeatureGroup plugins by
+    module/path, read only the variables they require, fan out every
+    feature, write one table per feature (reference:
+    radarpipeline/radarpipeline.py:13-35 + project/project.py:161-215).
+    """
+    from radarpipeline_spark.features.api import discover_feature_groups
+    from radarpipeline_spark.sinks.writer import write_features
+    from radarpipeline_spark.sources.radar_csv import read_radar_dataset
+
+    feats = cfg.get("features", {})
+    groups = [g for m in feats["modules"] for g in discover_feature_groups(m)]
+    variables = sorted({v for g in groups for v in g.required_input_data})
+    data = read_radar_dataset(
+        spark, cfg["input"]["path"], variables, cfg["input"].get("users")
+    )
+    names = feats.get("feature_names")
+    results: dict = {}
+    for g in groups:
+        results.update(g.compute(data, names))
+    paths = write_features(
+        results, cfg["output"]["path"], fmt=cfg["output"].get("format", "parquet")
+    )
+    return {
+        "output": cfg["output"]["path"],
+        "features": sorted(paths),
+        "groups": [g.name for g in groups],
+        "complete": True,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="radarpipeline_spark")
     ap.add_argument("--config", required=True, help="YAML job config")
@@ -133,6 +192,9 @@ def main(argv: list[str] | None = None) -> int:
     from radarpipeline_spark.checkpoint import CheckpointedFeatureRun, input_lineage_of
 
     spark = get_spark(app_name="radarpipeline_spark", master=args.master)
+    if cfg.get("features", {}).get("modules"):
+        print(json.dumps(run_plugin_pipeline(spark, cfg)))
+        return 0
     t, build = build_features(spark, cfg)
 
     ocfg = cfg["output"]

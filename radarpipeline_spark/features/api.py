@@ -92,3 +92,47 @@ def run_feature_groups(
     for g in groups:
         results.update(g.compute(data))
     return results
+
+
+def discover_feature_groups(location: str) -> List[FeatureGroup]:
+    """Import a module and instantiate every concrete FeatureGroup
+    subclass defined in it — the reference's plugin discovery
+    (reference: project/project.py:161-192: sys.path insert +
+    importlib + inspect.getmembers + isinstance filter), minus the
+    implicit git clone (fetch plugin repos with deployment tooling;
+    ``spark-submit --py-files`` ships them to executors).
+
+    ``location`` is a dotted module name (``my_pkg.features``) or a
+    filesystem path (``/plugins/my_features.py`` or a package dir).
+    """
+    import importlib
+    import inspect
+    import os
+    import sys
+
+    looks_like_path = (
+        os.path.sep in location or location.endswith(".py") or os.path.isdir(location)
+    )
+    if looks_like_path:
+        path = location.rstrip("/")
+        if path.endswith(".py"):
+            path = path[:-3]
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        if parent and parent not in sys.path:
+            sys.path.insert(1, parent)
+        module = importlib.import_module(base)
+    else:
+        module = importlib.import_module(location)
+
+    groups: List[FeatureGroup] = []
+    for _, obj in inspect.getmembers(module, inspect.isclass):
+        if (
+            obj is not FeatureGroup
+            and obj is not Feature
+            and issubclass(obj, FeatureGroup)
+            and not inspect.isabstract(obj)
+        ):
+            groups.append(obj())
+    if not groups:
+        raise ValueError(f"no FeatureGroup subclasses found in: {location}")
+    return groups

@@ -333,7 +333,27 @@ def chunked_asof_join(
         .filter(F.col("__r_us") < F.col("__first_us"))
         .select(by, F.lit(0).alias("__chunk"), F.col("__r_on").alias(on), "__rv", "__r_us")
     )
-    routed = routed.unionByName(early)
+    # boundary-tie halo: ts is non-decreasing, so a left row at the END
+    # of chunk k may share its timestamp with chunk k+1's first left
+    # row.  A right row at exactly that timestamp routes to chunk k+1
+    # above, yet the plain as-of (ORDER BY us, side — right first on
+    # ties) lets the tied chunk-k left row see it.  Duplicate such
+    # at-boundary right rows into the preceding chunk; within chunk k
+    # they sort after every earlier left row, so only tied rows are
+    # affected.  (Also makes chunk k's phase-2 summary carry the
+    # boundary value — a strictly more recent, still at-or-before fill.)
+    boundary_halo = (
+        r.join(spans, on=by)
+        .filter((F.col("__chunk") >= 1) & (F.col("__r_us") == F.col("__start_us")))
+        .select(
+            by,
+            (F.col("__chunk") - 1).alias("__chunk"),
+            F.col("__r_on").alias(on),
+            "__rv",
+            "__r_us",
+        )
+    )
+    routed = routed.unionByName(early).unionByName(boundary_halo)
 
     # phase 1: in-chunk union + carry
     l_tag = l.select(

@@ -51,7 +51,8 @@ SELECT
   CASE WHEN event_type IN ('click', 'view') THEN 'user'
        WHEN event_type = 'error' THEN 'tool'
        ELSE 'assistant' END AS role,
-  event_type || '#' || CAST(event_id AS VARCHAR) || '#' || props AS text,
+  event_type || '#' || CAST(event_id AS VARCHAR) || '#'
+             || coalesce(props, '') AS text,
   CASE WHEN event_type = 'error' THEN 'exec'
        WHEN event_type = 'purchase' THEN 'search'
        ELSE NULL END AS tool,
@@ -93,14 +94,43 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
             .when(F.col("event_type") == "error", "tool")
             .otherwise("assistant")
             .alias("role"),
-            F.concat_ws(
-                "#", "event_type", F.col("event_id").cast("string"), "props"
+            # concat (not concat_ws): NULL-propagating like SQL '||',
+            # with props explicitly coalesced — keeps the DuckDB twin
+            # bit-identical under NULL props/event_type alike
+            F.concat(
+                F.col("event_type"),
+                F.lit("#"),
+                F.col("event_id").cast("string"),
+                F.lit("#"),
+                F.coalesce(F.col("props"), F.lit("")),
             ).alias("text"),
             F.when(F.col("event_type") == "error", "exec")
             .when(F.col("event_type") == "purchase", "search")
             .alias("tool"),
             "ts",
         )
+    )
+
+
+def transcripts_from_radar(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "value.time",
+) -> DataFrame:
+    """Adapt a RADAR variable frame (``read_radar_variable``) to the
+    transcript schema: conversation = participant, turn = one record
+    ordered by its sensor timestamp.  Lets the CLI run the feature
+    engine directly over the reference's CSV layout
+    (reference: radarpipeline/io/reader.py:100-160 produces the same
+    per-variable frames this consumes)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(f"`{time_col}`"))
+    return df.select(
+        F.col(user_col).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col(f"`{time_col}`").alias("ts"),
     )
 
 

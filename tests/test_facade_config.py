@@ -61,6 +61,92 @@ def test_config_validation_accepts_minimal():
     validate_config({"input": {"path": "/i"}, "output": {"path": "/o"}})
 
 
+def test_config_radar_csv_requires_variable():
+    with pytest.raises(ValueError, match="input.variable"):
+        validate_config(
+            {"input": {"path": "/i", "format": "radar_csv"}, "output": {"path": "/o"}}
+        )
+    validate_config(
+        {
+            "input": {"path": "/i", "format": "radar_csv", "variable": "v"},
+            "output": {"path": "/o"},
+        }
+    )
+
+
+def test_feature_group_discovery_and_plugin_pipeline(spark, tmp_path):
+    """Reference plugin flow (project/project.py:161-192): discover
+    FeatureGroup subclasses by dotted module AND by filesystem path,
+    then run them through the CLI's plugin pipeline."""
+    from radarpipeline_spark.cli import run_plugin_pipeline
+    from radarpipeline_spark.features.api import discover_feature_groups
+
+    # dotted module name
+    groups = discover_feature_groups(
+        "radarpipeline_spark.features.radar_features"
+    )
+    assert [g.name for g in groups] == ["radar_demo_features"]
+
+    # filesystem path to a user plugin file
+    plugin = tmp_path / "my_plugin_features.py"
+    plugin.write_text(
+        "import pyspark.sql.functions as F\n"
+        "from radarpipeline_spark.features.api import Feature, FeatureGroup\n"
+        "class StepEvents(Feature):\n"
+        "    name = 'step_events'\n"
+        "    required_input_data = ['android_phone_step_count']\n"
+        "    def calculate(self, data):\n"
+        "        return data['android_phone_step_count'].select(\n"
+        "            F.col('`key.userId`').alias('uid'))\n"
+        "class MyPlugin(FeatureGroup):\n"
+        "    name = 'my_plugin'\n"
+        "    features = [StepEvents]\n"
+    )
+    got = discover_feature_groups(str(plugin))
+    assert [g.name for g in got] == ["my_plugin"]
+
+    cfg = {
+        "input": {
+            "path": "/root/reference/tests/resources/test_data",
+            "format": "radar_csv",
+        },
+        "features": {
+            "modules": ["radarpipeline_spark.features.radar_features"],
+            "feature_names": ["step_count_per_day"],
+        },
+        "output": {"path": str(tmp_path / "out"), "format": "csv"},
+    }
+    validate_config(cfg)
+    summary = run_plugin_pipeline(spark, cfg)
+    assert summary["complete"] and summary["features"] == ["step_count_per_day"]
+    import glob
+
+    assert glob.glob(str(tmp_path / "out" / "step_count_per_day" / "*.csv"))
+
+
+def test_cli_radar_csv_input_end_to_end(spark):
+    """format: radar_csv reads the reference's own CSV fixture layout
+    and runs the feature engine over it (one conversation per
+    participant, turns ordered by sensor time)."""
+    from radarpipeline_spark.cli import build_features
+
+    cfg = {
+        "input": {
+            "path": "/root/reference/tests/resources/test_data",
+            "format": "radar_csv",
+            "variable": "android_phone_step_count",
+        },
+        "output": {"path": "/unused"},
+    }
+    t, build = build_features(spark, cfg)
+    out = build(t).toPandas()
+    assert len(out) > 0
+    assert set(out.conv_id.unique()) == {"test_participant"}
+    assert (out.sort_values("turn_idx").ts.diff().dropna()
+            >= __import__("pandas").Timedelta(0)).all()
+    assert "latency_mean_300s" in out.columns
+
+
 def test_asof_property_random(spark):
     """Property: for random irregular timestamps, the Catalyst as-of
     join equals pandas merge_asof computed locally."""

@@ -69,6 +69,40 @@ def test_chunked_asof_equals_plain(spark, tiny, aux):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_chunked_asof_boundary_tie(spark):
+    """A right row whose ts equals a chunk's first left ts must also be
+    seen by a TIED left row at the end of the preceding chunk (ts
+    non-decreasing permits ties across the boundary) — the plain as-of
+    sorts right rows first at equal ts.  Regression for the routed-to-
+    one-chunk-only bug."""
+    import datetime as dt
+
+    from radarpipeline_spark.operators import asof_join
+    from radarpipeline_spark.operators.skew import chunked_asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    # chunk_rows=4: turn 3 ends chunk 0, turn 4 starts chunk 1; both at T
+    ts = [0, 10, 20, 30, 30, 40, 50, 60]
+    left = spark.createDataFrame(
+        [("c", i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(ts)],
+        "conv_id string, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c", t0 + dt.timedelta(seconds=1), 1.0),
+            ("c", t0 + dt.timedelta(seconds=30), 2.0),  # exactly at boundary
+        ],
+        "conv_id string, ts timestamp_ntz, v double",
+    )
+    plain = {r["turn_idx"]: r["asof_v"] for r in asof_join(left, right).collect()}
+    chunked = {
+        r["turn_idx"]: r["asof_v"]
+        for r in chunked_asof_join(left, right, chunk_rows=4).collect()
+    }
+    assert plain[3] == 2.0          # tied left row sees the boundary right row
+    assert chunked == plain
+
+
 def test_chunked_asof_multi_value_atomicity(spark):
     import datetime as dt
 
