@@ -989,3 +989,118 @@ def queries():  # noqa: F811
     q = _BASE_QUERIES5()
     q["ann_ivf"] = q_ann_ivf
     return q
+
+
+def _ivf_oracle_sql(
+    n_lists: int = 8,
+    n_probe: int = 4,
+    k: int = 5,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of the engine's seeded IVF k-means + probe top-k
+    (operators/similarity.py: ivf_index / ivf_cosine_topk), iterations
+    unrolled as CTEs.  Every float reduction is a strict left fold from
+    0.0 — the same order Spark's F.aggregate uses — and centroid sums
+    run in ascending cid order (the engine sorts its collect_list), so
+    centroids, assignments, probes and ranks are all bit-identical."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), jd -> {a}[jd] * {b}[jd])), "
+            f"(accd, xd) -> accd + xd)"
+        )
+
+    def norm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform({a}, xs -> xs * xs)), (accn, xn) -> accn + xn))"
+        )
+
+    zeros = f"list_transform(range(1, {dim + 1}), jz -> 0.0::DOUBLE)"
+    ctes = [
+        f"""corpus AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS v,
+         {norm('embedding::DOUBLE[]')} AS vn
+  FROM embeddings
+)""",
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS list_id,
+         v AS centroid, vn AS cnorm
+  FROM (SELECT v, vn,
+               ('0x' || substr(md5('{seed}#' || cid), 1, 15))::BIGINT AS h
+        FROM corpus ORDER BY h LIMIT {n_lists})
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+  SELECT cid, v, list_id FROM (
+    SELECT c.cid, c.v, kk.list_id,
+           row_number() OVER (PARTITION BY c.cid
+             ORDER BY {dot('c.v', 'kk.centroid')} / (c.vn * kk.cnorm) DESC,
+                      kk.list_id) AS rk
+    FROM corpus c, cent{i} kk
+  ) WHERE rk = 1
+)""")
+        ctes.append(f"""g{i} AS (
+  SELECT list_id, list(v ORDER BY cid) AS vs, count(*) AS n
+  FROM a{i} GROUP BY list_id
+)""")
+        ctes.append(f"""cent{i + 1} AS (
+  SELECT list_id, centroid, {norm('centroid')} AS cnorm
+  FROM (
+    SELECT list_id,
+           list_transform(
+             list_reduce(list_prepend({zeros}, vs),
+               (acc, w) -> list_transform(range(1, {dim + 1}),
+                                          ja -> acc[ja] + w[ja])),
+             xm -> xm / n) AS centroid
+    FROM g{i})
+)""")
+    ctes.append(f"""afinal AS (
+  SELECT cid, list_id FROM (
+    SELECT c.cid, kk.list_id,
+           row_number() OVER (PARTITION BY c.cid
+             ORDER BY {dot('c.v', 'kk.centroid')} / (c.vn * kk.cnorm) DESC,
+                      kk.list_id) AS rk
+    FROM corpus c, cent{iters} kk
+  ) WHERE rk = 1
+)""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, qv, qn, list_id FROM (
+    SELECT q.cid AS query_id, q.v AS qv, q.vn AS qn, kk.list_id,
+           row_number() OVER (PARTITION BY q.cid
+             ORDER BY {dot('q.v', 'kk.centroid')} / (q.vn * kk.cnorm) DESC,
+                      kk.list_id) AS rk
+    FROM (SELECT * FROM corpus WHERE cid < 10) q, cent{iters} kk
+  ) WHERE rk <= {n_probe}
+)""")
+    ctes.append(f"""cand AS (
+  SELECT p.query_id, c.cid AS corpus_id,
+         {dot('p.qv', 'c.v')} / (p.qn * c.vn) AS cosine
+  FROM probes p
+  JOIN afinal a ON a.list_id = p.list_id
+  JOIN corpus c ON c.cid = a.cid
+  WHERE p.query_id <> c.cid
+)""")
+    ctes.append("""r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM cand
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, rank, corpus_id, round(cosine, 6) AS cosine"
+        f"\nFROM r WHERE rank <= {k}"
+    )
+
+
+_BASE_ORACLES5 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES5()
+    o["ann_ivf"] = _ivf_oracle_sql(n_lists=8, n_probe=4, k=5, iters=3, dim=64)
+    return o

@@ -41,14 +41,43 @@ def deterministic_lat_stats(latency_col: str, time_frame) -> tuple:
       genuine half-way disagreements (n=2 windows put means on a
       0.5 µs lattice — verified cross-engine failure at sf0.01).
 
-    Returns ``(mean_expr, std_expr)`` (std is sample-std, NULL for
-    fewer than two latencies in the frame).
+    Returns ``(prep_cols, mean_expr, std_expr)``: project ``prep_cols``
+    onto the frame FIRST (sliding frames re-evaluate each aggregate's
+    child expression once per (row, frame element), so computing the
+    limbs inside the window multiplies their cost by the frame size —
+    as physical columns they cost one evaluation per row), then put
+    mean/std in the same select as the other window expressions.
+    std is sample-std, NULL for fewer than two latencies in the frame.
     """
     lat_us = F.round(F.col(latency_col) * F.lit(1e6), 0).cast("long")
-    lat_us_dec = lat_us.cast("decimal(38,0)")
-    n_lat = F.count(lat_us).over(time_frame)
-    sum_us = F.sum(lat_us).over(time_frame)
-    sumsq_us = F.sum(lat_us_dec * lat_us_dec).over(time_frame)
+    # Exact Σlat² WITHOUT a wide (decimal) sliding sum: Spark recomputes
+    # sliding frames per row, and decimal adds are ~10-30x a long add
+    # (measured 12.6s -> 143s on a 2M-turn single-conversation window).
+    # Split lat_us = a*2^21 + b (floor division — any consistent split
+    # recombines exactly), so lat² = a²*2^42 + 2ab*2^21 + b² with every
+    # limb < 2^45: three CHEAP long window sums, recombined per row into
+    # one decimal scalar.  Exact while |lat_us| < 2^43 (~100 days) and
+    # frames < 2^18 latencies (long-overflow would raise under ANSI,
+    # never silently corrupt).
+    a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
+    b = lat_us - a * F.lit(1 << 21)
+    prep_cols = [
+        lat_us.alias("__lat_us"),
+        (a * a).alias("__lat_c2"),
+        (F.lit(2) * a * b).alias("__lat_c1"),
+        (b * b).alias("__lat_c0"),
+    ]
+    lu = F.col("__lat_us")
+    n_lat = F.count(lu).over(time_frame)
+    sum_us = F.sum(lu).over(time_frame)
+    s_c2 = F.sum("__lat_c2").over(time_frame).cast("decimal(38,0)")
+    s_c1 = F.sum("__lat_c1").over(time_frame).cast("decimal(38,0)")
+    s_c0 = F.sum("__lat_c0").over(time_frame).cast("decimal(38,0)")
+    sumsq_us = (
+        s_c2 * F.lit(1 << 42).cast("decimal(38,0)")
+        + s_c1 * F.lit(1 << 21).cast("decimal(38,0)")
+        + s_c0
+    )
     var_num = (
         n_lat.cast("decimal(38,0)") * sumsq_us
         - sum_us.cast("decimal(38,0)") * sum_us.cast("decimal(38,0)")
@@ -59,7 +88,7 @@ def deterministic_lat_stats(latency_col: str, time_frame) -> tuple:
         n_lat >= 2,
         F.round(F.sqrt(var_num.cast("double") / var_den), 0) / F.lit(1e6),
     )
-    return mean_s, std_s
+    return prep_cols, mean_s, std_s
 
 
 def rolling_features(
@@ -92,13 +121,15 @@ def rolling_features(
     )
     is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
     k, d = last_k, range_seconds
-    mean_s, std_s = deterministic_lat_stats(latency_col, time_frame)
+    prep_cols, mean_s, std_s = deterministic_lat_stats(latency_col, time_frame)
     lat = F.col(latency_col)
+    out_cols = df.columns
+    df = df.select(*df.columns, *prep_cols)  # limbs: once per row
     # ONE select: expressions sharing a window spec land in the same
     # physical Window node (interleaved withColumn Projects would block
     # Spark's CollapseWindow rule and cost one Sort per feature).
     return df.select(
-        *df.columns,
+        *out_cols,
         F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
         F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
         mean_s.alias(f"latency_mean_{d}s"),

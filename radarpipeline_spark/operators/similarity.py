@@ -234,16 +234,24 @@ def embedding_near_dup_pairs(
     )
 
 
-def _avg_vec(col, dim: int):
+def _avg_vec(col, order_col, dim: int):
     """Element-wise mean of an array column via aggregate over a
-    zip-summed accumulator (JVM higher-order functions)."""
+    zip-summed accumulator (JVM higher-order functions).
+
+    Summation order is pinned by sorting the collected (order, vec)
+    pairs: float addition is non-associative, so an unsorted
+    collect_list would make centroid values depend on task scheduling —
+    breaking run-to-run determinism AND the DuckDB oracle replay."""
+    pairs = F.sort_array(
+        F.collect_list(F.struct(order_col.alias("o"), col.alias("x")))
+    )
     zero = F.array_repeat(F.lit(0.0), dim)
     summed = F.aggregate(
-        F.collect_list(col),
+        pairs,
         zero,
-        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+        lambda acc, p: F.zip_with(acc, p.x, lambda a, b: a + b.cast("double")),
     )
-    n = F.count(col)
+    n = F.size(pairs)
     return F.transform(summed, lambda x: x / n)
 
 
@@ -303,7 +311,7 @@ def ivf_index(
         centroids = [
             (r["list_id"], [float(x) for x in r["c"]])
             for r in assigned.groupBy("list_id")
-            .agg(_avg_vec(F.col("v"), dim).alias("c"))
+            .agg(_avg_vec(F.col("v"), F.col("cid"), dim).alias("c"))
             .collect()
         ]
     assignments = assign(centroids).select("cid", "list_id")

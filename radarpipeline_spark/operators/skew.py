@@ -188,7 +188,10 @@ def chunked_feature_vector(
     k, d = last_k, range_seconds
     # same deterministic mean/std as the plain path (bit-equality
     # between chunked and plain output is pinned by test_skew)
-    _mean_s, _std_s = deterministic_lat_stats("inter_turn_latency_s", time_frame)
+    _prep, _mean_s, _std_s = deterministic_lat_stats(
+        "inter_turn_latency_s", time_frame
+    )
+    u2 = u2.select("*", *_prep)  # limbs: once per row, outside the frame
     out = (
         u2.select(
             *cols,
