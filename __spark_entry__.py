@@ -340,19 +340,37 @@ from radarpipeline_spark.operators.similarity import (  # noqa: E402
 from radarpipeline_spark.operators.text import doc_fingerprint, lang_id, text_stats  # noqa: E402
 
 
+def _docs(spark, sf_dir):
+    """documents table, spread across the cluster: the testdata ships
+    as one single-row-group file -> one scan partition, which would run
+    every downstream explode/hash single-threaded.  The round-robin
+    shuffle is a few MB; at production scale the table arrives as many
+    files and Spark's scan splitting makes this a no-op-sized safety
+    net, not a bottleneck."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _embs(spark, sf_dir):
+    """embeddings table, spread like _docs (corpus-side parallelism
+    drives the ANN scans)."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(_docs(spark, sf_dir))
 
 
 def q_minhash(spark, sf_dir):
-    return minhash_signatures(
-        load_table(spark, sf_dir, "documents"), n_hashes=8, shingle_len=3
-    )
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=8, shingle_len=3)
 
 
 def q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(
-        load_table(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_len=3
+        _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_len=3
     )
 
 
@@ -363,7 +381,7 @@ def q_ngram_jaccard(spark, sf_dir):
     # operators/dedup.py); the oracle mirrors both choices.
     return _round6(
         ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"),
+            _docs(spark, sf_dir),
             shingle_len=3,
             threshold=0.2,
             max_doc_freq=5,
@@ -373,28 +391,28 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+    return simhash(_docs(spark, sf_dir), bits=16)
 
 
 def q_text_stats(spark, sf_dir):
-    return text_stats(load_table(spark, sf_dir, "documents"))
+    return text_stats(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
-    return lang_id(load_table(spark, sf_dir, "documents"))
+    return lang_id(_docs(spark, sf_dir))
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+    return doc_fingerprint(_docs(spark, sf_dir))
 
 
 def q_ann_cosine(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def q_ann_lsh(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return lsh_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
     )
@@ -506,6 +524,18 @@ def queries():  # noqa: F811 — extend the transcript-core set
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+from radarpipeline_spark.operators.dedup import (  # noqa: E402
+    MERSENNE61,
+    mix_constants,
+)
+
+# universal-hash mix twin: one md5 per shingle, n_hashes values derived
+# by plain 64-bit arithmetic (a < 2^31 so a*h32 + b never overflows a
+# BIGINT) — identical (a_i, b_i) literals from dedup.mix_constants
+_MIX_VALUES = ",\n        ".join(
+    f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(mix_constants(8))
+)
+
 _SHINGLE_CTE = r"""
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -521,8 +551,10 @@ sh AS (
 dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
 mh AS (
   SELECT doc_id, hash_idx,
-         min(""" + _H60.format(x="sh || '#' || CAST(hash_idx AS VARCHAR)") + r""") AS minhash
-  FROM dsh, (SELECT unnest(generate_series(0, 7)) AS hash_idx) h
+         min(((""" + _H60.format(x="sh") + f""" & 4294967295) * a + b)
+             % {MERSENNE61}) AS minhash
+  FROM dsh,
+       (VALUES {_MIX_VALUES}) AS mixc(hash_idx, a, b)
   GROUP BY doc_id, hash_idx
 )
 """
@@ -847,7 +879,7 @@ def q_dedup_embedding(spark, sf_dir):
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51 at sf0.01); 0.42 yields a non-trivial pair set to verify
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.42, n_planes=4, dim=64
+        _embs(spark, sf_dir), threshold=0.42, n_planes=4, dim=64
     )
 
 
@@ -976,7 +1008,7 @@ from radarpipeline_spark.operators.similarity import ivf_cosine_topk  # noqa: E4
 def q_ann_ivf(spark, sf_dir):
     """IVF-probed approximate top-k (rows-only: approximate by design;
     recall vs the exact baseline is pinned in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return ivf_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4, dim=64
     )

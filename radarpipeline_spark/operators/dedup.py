@@ -67,6 +67,25 @@ def exact_dedup(
     )
 
 
+MERSENNE61 = (1 << 61) - 1
+
+
+def mix_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Universal-hash constants for the minhash mix, md5-derived so the
+    DuckDB oracle embeds the identical literals.  a < 2^31 keeps
+    a*h32 + b inside a 64-bit long (native JVM arithmetic — a
+    decimal(38,0) mix measured SLOWER than the md5 it replaced)."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h(f"mixa:{i}") % ((1 << 31) - 1) + 1, h(f"mixb:{i}"))
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -74,28 +93,35 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_len: int = 3,
 ) -> DataFrame:
-    """(id, hash_idx, minhash) — min over shingles of h60(shingle||'#'||i).
+    """(id, hash_idx, minhash) — min over shingles of g_i(h32(shingle)),
+    with g_i(h) = (a_i*h + b_i) mod (2^61 - 1), a universal-hash family
+    over the low 32 bits of the md5-h60 (a_i < 2^31 keeps every
+    intermediate in a plain 64-bit long — native whole-stage-codegen
+    arithmetic in both engines).
 
-    Relational minhash: explode shingles x hash indices, take the
-    groupwise min.  Partial aggregation keeps the shuffle at
-    n_docs x n_hashes rows.
+    ONE md5 per distinct (doc, shingle); the n_hashes values derive by
+    cheap integer mixing — vs the naive md5(shingle||'#'||i) this cuts
+    both the hash work and the pre-aggregation row count n_hashes-fold
+    (no hash-index explode; n_hashes parallel min aggregates instead).
+    Shuffle stays n_docs x n_hashes via map-side partial mins.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh")
+    hv = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh"),
+    ).select(id_col, h60("sh").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"))
+
+    def g(a: int, b: int) -> F.Column:
+        return F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE61))
+
+    mins = hv.groupBy(id_col).agg(
+        *[
+            F.min(g(a, b)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(mix_constants(n_hashes))
+        ]
     )
-    idx = sh.select(
-        id_col,
-        "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx"),
-    )
-    return (
-        idx.select(
-            id_col,
-            "hash_idx",
-            h60(F.concat_ws("#", "sh", F.col("hash_idx").cast("string"))).alias("hv"),
-        )
-        .groupBy(id_col, "hash_idx")
-        .agg(F.min("hv").alias("minhash"))
+    stack_args = ", ".join(f"{i}, __m{i}" for i in range(n_hashes))
+    return mins.selectExpr(
+        id_col, f"stack({n_hashes}, {stack_args}) AS (hash_idx, minhash)"
     )
 
 
