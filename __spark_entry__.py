@@ -1023,6 +1023,78 @@ def queries():  # noqa: F811
     return q
 
 
+def q4_order_priority_semi(spark, sf_dir):
+    """TPC-H q4 shape: LEFT SEMI join with a correlated extra predicate
+    (EXISTS) — Spark plans a shuffled semi join, never materializing
+    the probe side's matches."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def q_customers_without_orders_anti(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) with an extra join-side predicate:
+    customers with no large order (totalprice > 400k; ~4% of customers
+    at sf0.01), rolled up per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_totalprice > 400_000),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_BASE_QUERIES6 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES6()
+    q["q4_order_priority_semi"] = q4_order_priority_semi
+    q["customers_without_orders_anti"] = q_customers_without_orders_anti
+    return q
+
+
+_BASE_ORACLES6 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES6()
+    o["q4_order_priority_semi"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+    o["customers_without_orders_anti"] = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+    return o
+
+
 def _ivf_oracle_sql(
     n_lists: int = 8,
     n_probe: int = 4,
