@@ -156,7 +156,10 @@ def bench_scaling() -> dict:
 
     best = {"lo": float("inf"), "hi": float("inf")}
     s0, t0 = _steal_jiffies()
-    for round_i in range(2):
+    # 3 interleaved rounds: controlled A/B showed per-round efficiency
+    # spread 0.84-0.97 under transient co-tenant load; min-of-3 per
+    # level keeps one slow window from writing the headline number
+    for round_i in range(3):
         for label, cores in (("lo", 2), ("hi", 8)):
             _time.sleep(5)
             dt = _timed_min(cores, tmp, narrow, reps=1)
