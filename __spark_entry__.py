@@ -1095,6 +1095,66 @@ GROUP BY c_mktsegment
     return o
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: jaccard pairs -> connected components via
+    distributed min-label propagation (driver loop over iterations
+    only; each round = one equi-join + one map-side-combinable min)."""
+    from radarpipeline_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), shingle_len=3, threshold=0.2, max_doc_freq=5
+    )
+
+
+_BASE_QUERIES7 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES7()
+    q["dedup_clusters"] = q_dedup_clusters
+    return q
+
+
+_BASE_ORACLES7 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES7()
+    # recursive min-label closure over the same capped-jaccard pairs the
+    # ngram_jaccard oracle derives
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+shh AS (SELECT doc_id, {_H60.format(x='sh')} AS shash FROM dsh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+freq AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+joinable AS (SELECT shh.doc_id, shh.shash FROM shh
+             JOIN freq USING (shash) WHERE freq.df <= 5),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM joinable a JOIN joinable b ON a.shash = b.shash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.2
+),
+e AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+walk(id, lab) AS (
+  SELECT id, id FROM (SELECT DISTINCT id FROM e)
+  UNION
+  SELECT e.id, w.lab FROM e JOIN walk w ON w.id = e.nbr
+)
+SELECT id AS doc_id, min(lab) AS cluster_id,
+       (id = min(lab)) AS is_canonical
+FROM walk GROUP BY id
+"""
+    return o
+
+
 def _ivf_oracle_sql(
     n_lists: int = 8,
     n_probe: int = 4,

@@ -270,3 +270,81 @@ def simhash(
             ).alias("simhash")
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step of near-duplicate dedup (candidate pairs -> duplicate groups,
+    canonical member = minimum id).
+
+    Distributed min-label propagation: every node repeatedly adopts the
+    smallest label in its closed neighborhood; each round is one
+    equi-join + one map-side-combinable min aggregation, and the driver
+    loop runs over ITERATIONS only (the convergence check is a 1-row
+    aggregate, not a data collect).  Rounds needed = component
+    diameter — near-dup clusters are shallow, so this converges in a
+    handful of rounds; ``max_iter`` bounds adversarial chains.
+
+    Returns (id, component) for every node appearing in ``edges``.
+    """
+    from pyspark import StorageLevel
+
+    # undirected: materialize both directions once
+    fwd = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
+    rev = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
+    adj = fwd.unionByName(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        adj.select("id").distinct().withColumn("component", F.col("id"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iter):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("id", "nbr"), on="nbr"
+        ).select("id", "component")
+        new_labels = (
+            nbr_labels.unionByName(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), on="id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate clusters: n-gram Jaccard pairs above ``threshold``
+    -> connected components -> (doc_id, cluster_id, is_canonical).
+    cluster_id is the smallest doc id in the component (the member a
+    dedup pass would keep)."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_len, threshold, max_doc_freq
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -111,6 +111,29 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     assert sorted(map(tuple, approx2.collect())) == sorted(map(tuple, approx.collect()))
 
 
+def test_connected_components_and_clusters(spark, docs):
+    from radarpipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3 plus isolated pair 10-11: min-label must propagate
+    # across the chain (multi-round), not just to direct neighbors
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # docs fixture: 0/1 exact dups and 2 a near-dup of both -> one
+    # cluster {0,1,2} with 0 canonical
+    out = dedup_clusters(docs, threshold=0.2).toPandas()
+    cl = out.set_index("doc_id")
+    assert set(cl.loc[[0, 1, 2], "cluster_id"]) == {0}
+    assert bool(cl.loc[0, "is_canonical"]) is True
+    assert bool(cl.loc[1, "is_canonical"]) is False
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     """Scale invariant: the CORPUS side must never be broadcast — at
     100TB that OOMs every executor.  The physical plan must build
