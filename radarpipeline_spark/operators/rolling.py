@@ -70,13 +70,21 @@ def deterministic_lat_stats(latency_col: str, time_frame) -> tuple:
     lu = F.col("__lat_us")
     n_lat = F.count(lu).over(time_frame)
     sum_us = F.sum(lu).over(time_frame)
-    s_c2 = F.sum("__lat_c2").over(time_frame).cast("decimal(38,0)")
-    s_c1 = F.sum("__lat_c1").over(time_frame).cast("decimal(38,0)")
-    s_c0 = F.sum("__lat_c0").over(time_frame).cast("decimal(38,0)")
+    s_c2 = F.sum("__lat_c2").over(time_frame)
+    s_c1 = F.sum("__lat_c1").over(time_frame)
+    s_c0 = F.sum("__lat_c0").over(time_frame)
+    mean_s, std_s = finish_lat_stats(n_lat, sum_us, s_c2, s_c1, s_c0)
+    return prep_cols, mean_s, std_s
+
+
+def finish_lat_stats(n_lat, sum_us, s_c2, s_c1, s_c0) -> tuple:
+    """Final mean/std expressions from the EXACT frame aggregates
+    (count, Σlat, and the three Σlat² limbs) — shared by the sliding
+    and prefix-diff strategies so both produce bit-identical floats."""
     sumsq_us = (
-        s_c2 * F.lit(1 << 42).cast("decimal(38,0)")
-        + s_c1 * F.lit(1 << 21).cast("decimal(38,0)")
-        + s_c0
+        s_c2.cast("decimal(38,0)") * F.lit(1 << 42).cast("decimal(38,0)")
+        + s_c1.cast("decimal(38,0)") * F.lit(1 << 21).cast("decimal(38,0)")
+        + s_c0.cast("decimal(38,0)")
     )
     var_num = (
         n_lat.cast("decimal(38,0)") * sumsq_us
@@ -88,7 +96,7 @@ def deterministic_lat_stats(latency_col: str, time_frame) -> tuple:
         n_lat >= 2,
         F.round(F.sqrt(var_num.cast("double") / var_den), 0) / F.lit(1e6),
     )
-    return prep_cols, mean_s, std_s
+    return mean_s, std_s
 
 
 def rolling_features(
@@ -100,6 +108,7 @@ def rolling_features(
     ts_col: str = "ts",
     tool_col: str = "tool",
     latency_col: str = "inter_turn_latency_s",
+    strategy: str = "sliding",
 ) -> DataFrame:
     """Add rolling features; requires ``latency_col`` (see lag_lead).
 
@@ -108,7 +117,20 @@ def rolling_features(
     * ``latency_{mean,std,min,max}_{Δ}s`` — stats of inter-turn latency
       over rangeBetween(-Δ·10⁶, 0) on unix_micros(ts) — integer range
       bounds, so engine/oracle frame membership is bit-exact.
+
+    ``strategy``: ``"sliding"`` computes the five exact sums as sliding
+    window aggregates (Spark replays the frame per row — cost grows
+    with frame row count); ``"prefix"`` computes them as incremental
+    running totals diffed via a self-as-of lookup at each frame start
+    (cost independent of frame size — the dense-frame scale path; see
+    :func:`rolling_features_prefix`).  Bit-identical outputs — pinned
+    by tests.
     """
+    if strategy == "prefix":
+        return rolling_features_prefix(
+            df, last_k, range_seconds, entity_col, order_col, ts_col,
+            tool_col, latency_col,
+        )
     row_frame = (
         Window.partitionBy(entity_col)
         .orderBy(order_col)
@@ -136,4 +158,124 @@ def rolling_features(
         std_s.alias(f"latency_std_{d}s"),
         F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
         F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
+    )
+
+
+def rolling_features_prefix(
+    df: DataFrame,
+    last_k: int = 10,
+    range_seconds: int = 300,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    latency_col: str = "inter_turn_latency_s",
+) -> DataFrame:
+    """Range-frame sums via PREFIX totals + a self-as-of diff.
+
+    Sliding frames make Spark replay every frame row per output row
+    (O(rows x frame) aggregate updates) — ruinous when many turns fall
+    inside the Δ-second window.  Sums are subtractable, so instead:
+
+    1. running totals of (n, Σlat, Σlat² limbs) over an UNBOUNDED
+       PRECEDING **range** frame (incremental, O(1)/row; range — not
+       rows — so timestamp ties all carry the tie-group total, exactly
+       matching the sliding frame's tie semantics);
+    2. a self-as-of lookup of those totals just BEFORE each row's frame
+       start (union of anchor rows at pos=us and probe rows at
+       pos=us-Δ·10⁶-1, one LOCF pass — the asof_join trick);
+    3. frame aggregate = own total - before total; the shared
+       :func:`finish_lat_stats` turns the exact integers into the same
+       bit-identical floats as the sliding strategy.
+
+    min/max are not subtractable and stay sliding; the row-frame pair
+    (turns/tool-rate, last-k rows) is cheap and stays sliding too.
+    One persist (the totals pass feeds both union branches); no extra
+    shuffle — every pass partitions on ``entity_col``.
+    """
+    from pyspark import StorageLevel
+
+    row_frame = (
+        Window.partitionBy(entity_col)
+        .orderBy(order_col)
+        .rowsBetween(-(last_k - 1), Window.currentRow)
+    )
+    time_frame = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_us(ts_col))
+        .rangeBetween(-range_seconds * MICROS, Window.currentRow)
+    )
+    cum_frame = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_us(ts_col))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
+    lat = F.col(latency_col)
+    k, d = last_k, range_seconds
+
+    lat_us = F.round(lat * F.lit(1e6), 0).cast("long")
+    a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
+    b = lat_us - a * F.lit(1 << 21)
+    out_cols = df.columns
+    # incremental frames add each row exactly once, so the limb
+    # expressions can live inline (no per-frame re-evaluation)
+    totals = df.select(
+        *out_cols,
+        F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
+        F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
+        F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
+        F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
+        F.count(lat_us).over(cum_frame).alias("__tn"),
+        F.sum(lat_us).over(cum_frame).alias("__ts"),
+        F.sum(a * a).over(cum_frame).alias("__t2"),
+        F.sum(F.lit(2) * a * b).over(cum_frame).alias("__t1"),
+        F.sum(b * b).over(cum_frame).alias("__t0"),
+        ts_us(ts_col).alias("__us"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    cum_t = "struct<n:bigint,s:bigint,c2:bigint,c1:bigint,c0:bigint>"
+    anchors = totals.select(
+        F.col(entity_col),
+        F.col("__us").alias("__pos"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col("__tn").alias("n"),
+            F.col("__ts").alias("s"),
+            F.col("__t2").alias("c2"),
+            F.col("__t1").alias("c1"),
+            F.col("__t0").alias("c0"),
+        ).alias("__cum"),
+    )
+    probes = totals.select(
+        "*",
+        (F.col("__us") - F.lit(range_seconds * MICROS + 1)).alias("__pos"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(cum_t).alias("__cum"),
+    )
+    u = probes.unionByName(anchors, allowMissingColumns=True)
+    locf = (
+        Window.partitionBy(entity_col)
+        .orderBy("__pos", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*", F.last("__cum", ignorenulls=True).over(locf).alias("__bef")
+    ).filter(F.col("__tag") == 1)
+
+    bef = lambda f: F.coalesce(F.col("__bef").getField(f), F.lit(0))  # noqa: E731
+    n_lat = F.col("__tn") - bef("n")
+    sum_us = F.when(n_lat > 0, F.coalesce(F.col("__ts"), F.lit(0)) - bef("s"))
+    s_c2 = F.when(n_lat > 0, F.coalesce(F.col("__t2"), F.lit(0)) - bef("c2"))
+    s_c1 = F.when(n_lat > 0, F.coalesce(F.col("__t1"), F.lit(0)) - bef("c1"))
+    s_c0 = F.when(n_lat > 0, F.coalesce(F.col("__t0"), F.lit(0)) - bef("c0"))
+    mean_s, std_s = finish_lat_stats(n_lat, sum_us, s_c2, s_c1, s_c0)
+    return filled.select(
+        *out_cols,
+        f"turns_last_{k}",
+        f"tool_rate_last_{k}",
+        mean_s.alias(f"latency_mean_{d}s"),
+        std_s.alias(f"latency_std_{d}s"),
+        f"latency_min_{d}s",
+        f"latency_max_{d}s",
     )

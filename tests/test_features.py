@@ -22,3 +22,34 @@ def test_rolling_parity(spark, tiny, tiny_pdf):
     orc = oracle_rolling(oracle_lag_lead(tiny_pdf))
     e, o = aligned(eng, orc, ROLL_COLS)
     assert_allclose_frames(e, o)
+
+
+def test_rolling_prefix_strategy_bit_equal(spark, tiny):
+    """The prefix-diff strategy must be BIT-identical to the sliding
+    strategy — including at timestamp ties, where the range frame
+    carries whole tie groups."""
+    import datetime as dt
+
+    base = lag_lead_features(tiny)
+    a = rolling_features(base).toPandas()
+    b = rolling_features(base, strategy="prefix").toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, ignore_index=True)[sorted(a.columns)]
+    b = b.sort_values(key, ignore_index=True)[sorted(b.columns)]
+    assert a.astype(str).equals(b.astype(str))
+
+    # tie-heavy micro-case: several turns share timestamps across the
+    # frame boundary
+    t0 = dt.datetime(2024, 1, 1)
+    secs = [0, 0, 100, 100, 100, 350, 400, 400, 401, 800]
+    ties = spark.createDataFrame(
+        [("c", i, "user", None, t0 + dt.timedelta(seconds=s))
+         for i, s in enumerate(secs)],
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp_ntz",
+    )
+    tb = lag_lead_features(ties)
+    x = rolling_features(tb).toPandas().sort_values("turn_idx", ignore_index=True)
+    y = rolling_features(tb, strategy="prefix").toPandas().sort_values(
+        "turn_idx", ignore_index=True
+    )
+    assert x[sorted(x.columns)].astype(str).equals(y[sorted(y.columns)].astype(str))
