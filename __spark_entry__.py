@@ -1095,6 +1095,65 @@ GROUP BY c_mktsegment
     return o
 
 
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (day, event_type) -> day subtotals -> grand
+    total, with an explicit grouping id so the driver can hash the
+    NULL-marked subtotal rows unambiguously."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.rollup(day, "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("day", "event_type", "gid", "n_events", "sum_value")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot event_type into columns (explicit value list — at scale an
+    implicit pivot costs an extra distinct pass and an unstable
+    schema): per-day sum(value) per type."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return out.select(
+        "day", *[F.col(t).alias(f"v_{t}") for t in _EVENT_TYPES]
+    )
+
+
+def q_latency_quartiles(spark, sf_dir):
+    """Exact interpolated quartiles of inter-turn latency per
+    conversation.  Computed over INTEGER microseconds at dyadic
+    percentiles (.25/.5/.75): the interpolation weight d = p*(n-1) is
+    then exactly representable, every product is exact, and Spark's
+    a+d*(b-a) equals DuckDB quantile_cont's (1-d)*a+d*b bit-for-bit —
+    no formula-dependent ulp drift."""
+    t = lag_lead_features(_transcripts(spark, sf_dir))
+    lat_us = F.round(F.col("inter_turn_latency_s") * F.lit(1e6), 0).cast("long")
+    qs = t.select("conv_id", lat_us.alias("lat_us")).groupBy("conv_id").agg(
+        F.expr("percentile(lat_us, 0.25)").alias("p25_us"),
+        F.expr("percentile(lat_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.75)").alias("p75_us"),
+        F.count("lat_us").alias("n_lat"),
+    )
+    return qs.select(
+        "conv_id",
+        "n_lat",
+        (F.col("p25_us") / F.lit(1e6)).alias("lat_p25_s"),
+        (F.col("p50_us") / F.lit(1e6)).alias("lat_p50_s"),
+        (F.col("p75_us") / F.lit(1e6)).alias("lat_p75_s"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: jaccard pairs -> connected components via
     distributed min-label propagation (driver loop over iterations
@@ -1112,6 +1171,9 @@ _BASE_QUERIES7 = queries
 def queries():  # noqa: F811
     q = _BASE_QUERIES7()
     q["dedup_clusters"] = q_dedup_clusters
+    q["events_rollup"] = q_events_rollup
+    q["events_pivot"] = q_events_pivot
+    q["latency_quartiles"] = q_latency_quartiles
     return q
 
 
@@ -1151,6 +1213,34 @@ walk(id, lab) AS (
 SELECT id AS doc_id, min(lab) AS cluster_id,
        (id = min(lab)) AS is_canonical
 FROM walk GROUP BY id
+"""
+    o["events_rollup"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(CASE WHEN GROUPING(strftime(ts, '%Y-%m-%d')) = 1 THEN 2 ELSE 0 END
+            + GROUPING(event_type) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+"""
+    o["events_pivot"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       round(sum(value) FILTER (event_type = 'click'), 4)    AS v_click,
+       round(sum(value) FILTER (event_type = 'error'), 4)    AS v_error,
+       round(sum(value) FILTER (event_type = 'purchase'), 4) AS v_purchase,
+       round(sum(value) FILTER (event_type = 'signup'), 4)   AS v_signup,
+       round(sum(value) FILTER (event_type = 'view'), 4)     AS v_view
+FROM events
+GROUP BY 1
+"""
+    o["latency_quartiles"] = f"""
+{_T}, {_LL_CTE}
+SELECT conv_id,
+       CAST(count(lat_us) AS BIGINT) AS n_lat,
+       quantile_cont(lat_us, 0.25) / 1000000.0 AS lat_p25_s,
+       quantile_cont(lat_us, 0.5)  / 1000000.0 AS lat_p50_s,
+       quantile_cont(lat_us, 0.75) / 1000000.0 AS lat_p75_s
+FROM ll GROUP BY conv_id
 """
     return o
 
