@@ -214,18 +214,58 @@ def rolling_features_prefix(
     lat = F.col(latency_col)
     k, d = last_k, range_seconds
 
-    lat_us = F.round(lat * F.lit(1e6), 0).cast("long")
-    a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
-    b = lat_us - a * F.lit(1 << 21)
     out_cols = df.columns
-    # incremental frames add each row exactly once, so the limb
-    # expressions can live inline (no per-frame re-evaluation)
-    totals = df.select(
+    pass1 = df.select(
         *out_cols,
         F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
         F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
         F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
         F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
+    )
+    out = prefix_lat_stats(
+        pass1, [entity_col], ts_col, latency_col, range_seconds,
+        f"latency_mean_{d}s", f"latency_std_{d}s",
+    )
+    return out.select(
+        *out_cols,
+        f"turns_last_{k}",
+        f"tool_rate_last_{k}",
+        f"latency_mean_{d}s",
+        f"latency_std_{d}s",
+        f"latency_min_{d}s",
+        f"latency_max_{d}s",
+    )
+
+
+def prefix_lat_stats(
+    df: DataFrame,
+    partition_cols: list,
+    ts_col: str,
+    latency_col: str,
+    range_seconds: int,
+    out_mean: str,
+    out_std: str,
+) -> DataFrame:
+    """Add ``out_mean``/``out_std`` (the exact deterministic latency
+    stats over the trailing Δ-second range frame) to ``df`` via the
+    prefix-total + self-as-of technique, partitioned by
+    ``partition_cols`` — reusable by the chunked/skew path, which
+    partitions on (entity, chunk).  See rolling_features_prefix."""
+    from pyspark import StorageLevel
+
+    lat_us = F.round(F.col(latency_col) * F.lit(1e6), 0).cast("long")
+    a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
+    b = lat_us - a * F.lit(1 << 21)
+    cum_frame = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(ts_us(ts_col))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_cols = df.columns
+    # incremental frames add each row exactly once, so the limb
+    # expressions can live inline (no per-frame re-evaluation)
+    totals = df.select(
+        *in_cols,
         F.count(lat_us).over(cum_frame).alias("__tn"),
         F.sum(lat_us).over(cum_frame).alias("__ts"),
         F.sum(a * a).over(cum_frame).alias("__t2"),
@@ -236,7 +276,7 @@ def rolling_features_prefix(
 
     cum_t = "struct<n:bigint,s:bigint,c2:bigint,c1:bigint,c0:bigint>"
     anchors = totals.select(
-        F.col(entity_col),
+        *partition_cols,
         F.col("__us").alias("__pos"),
         F.lit(0).alias("__tag"),
         F.struct(
@@ -255,7 +295,7 @@ def rolling_features_prefix(
     )
     u = probes.unionByName(anchors, allowMissingColumns=True)
     locf = (
-        Window.partitionBy(entity_col)
+        Window.partitionBy(*partition_cols)
         .orderBy("__pos", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -271,11 +311,5 @@ def rolling_features_prefix(
     s_c0 = F.when(n_lat > 0, F.coalesce(F.col("__t0"), F.lit(0)) - bef("c0"))
     mean_s, std_s = finish_lat_stats(n_lat, sum_us, s_c2, s_c1, s_c0)
     return filled.select(
-        *out_cols,
-        f"turns_last_{k}",
-        f"tool_rate_last_{k}",
-        mean_s.alias(f"latency_mean_{d}s"),
-        std_s.alias(f"latency_std_{d}s"),
-        f"latency_min_{d}s",
-        f"latency_max_{d}s",
+        *in_cols, mean_s.alias(out_mean), std_s.alias(out_std)
     )

@@ -39,7 +39,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from radarpipeline_spark.functions.time import ts_us
-from radarpipeline_spark.operators.rolling import deterministic_lat_stats
+from radarpipeline_spark.operators.rolling import (
+    deterministic_lat_stats,
+    prefix_lat_stats,
+)
 
 MICROS = 1_000_000
 
@@ -56,10 +59,13 @@ def chunked_feature_vector(
     tool_col: str = "tool",
     role_col: str = "role",
     validate: bool = False,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """sessionize + lag/lead + rolling features with (entity, chunk)
     salted windows; equals feature_vector(df) minus the as-of join
-    (compose with asof_join afterwards)."""
+    (compose with asof_join afterwards).  ``strategy`` as in
+    rolling_features — "prefix" (default) diffs incremental totals
+    within each (entity, chunk), "sliding" replays frames."""
     if chunk_rows < last_k - 1:
         # the positional halo reaches exactly one chunk back, so a row
         # frame of k rows needs every chunk to hold at least k-1 rows —
@@ -186,27 +192,53 @@ def chunked_feature_vector(
     is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
     lat = F.col("inter_turn_latency_s")
     k, d = last_k, range_seconds
-    # same deterministic mean/std as the plain path (bit-equality
-    # between chunked and plain output is pinned by test_skew)
+    carry = [
+        *cols, "session_id", "prev_ts", "next_ts",
+        "inter_turn_latency_s", "prev_role", "__h2",
+    ]
+    sliding_feats = [
+        F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
+        F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
+        F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
+        F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
+    ]
+    if strategy == "prefix":
+        # prefix totals + self-as-of within (entity, chunk) — the halo
+        # rows (__h2=1) participate as anchors so frame diffs near the
+        # chunk head stay exact; same bit-identical stats as the plain
+        # prefix path (pinned by test_skew equality vs plain)
+        t1 = u2.select(*carry, "__chunk", *sliding_feats)
+        t1 = prefix_lat_stats(
+            t1, [entity_col, "__chunk"], ts_col, "inter_turn_latency_s",
+            range_seconds, f"latency_mean_{d}s", f"latency_std_{d}s",
+        )
+        out = (
+            t1.filter(F.col("__h2") == 0)
+            .drop("__h2", "__chunk")
+            .select(
+                *cols, "session_id", "prev_ts", "next_ts",
+                "inter_turn_latency_s", "prev_role",
+                f"turns_last_{k}", f"tool_rate_last_{k}",
+                f"latency_mean_{d}s", f"latency_std_{d}s",
+                f"latency_min_{d}s", f"latency_max_{d}s",
+            )
+        )
+        return out
+    # sliding: same deterministic mean/std as the plain path
+    # (bit-equality between chunked and plain output pinned by test_skew)
     _prep, _mean_s, _std_s = deterministic_lat_stats(
         "inter_turn_latency_s", time_frame
     )
     u2 = u2.select("*", *_prep)  # limbs: once per row, outside the frame
     out = (
         u2.select(
-            *cols,
-            "session_id",
-            "prev_ts",
-            "next_ts",
-            "inter_turn_latency_s",
-            "prev_role",
-            "__h2",
-            F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
-            F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
+            *carry,
+            sliding_feats[0],
+            sliding_feats[1],
             _mean_s.alias(f"latency_mean_{d}s"),
             _std_s.alias(f"latency_std_{d}s"),
-            F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
-            F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
+            sliding_feats[2],
+            sliding_feats[3],
         )
         .filter(F.col("__h2") == 0)
         .drop("__h2")
@@ -225,6 +257,7 @@ def skew_routed_feature_vector(
     ts_col: str = "ts",
     tool_col: str = "tool",
     role_col: str = "role",
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Hybrid skew routing: conversations that fit in one chunk take the
     plain single-shuffle window path; only the long tail pays the
@@ -251,10 +284,12 @@ def skew_routed_feature_vector(
             entity_col, order_col, ts_col, role_col,
         ),
         last_k, range_seconds, entity_col, order_col, ts_col, tool_col,
+        strategy=strategy,
     )
     chunked = chunked_feature_vector(
         long, chunk_rows, gap_seconds, last_k, range_seconds,
         entity_col, order_col, ts_col, tool_col, role_col,
+        strategy=strategy,
     )
     return plain.unionByName(chunked.select(*plain.columns))
 

@@ -23,6 +23,9 @@ def test_chunked_equals_plain(spark, tiny):
     a, b = _normalize(plain), _normalize(chunked)
     assert plain.count() == chunked.count() == tiny.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the sliding strategy must produce the same bits as prefix
+    sl = _normalize(chunked_feature_vector(tiny, chunk_rows=64, strategy="sliding"))
+    assert a.exceptAll(sl).count() == 0 and sl.exceptAll(a).count() == 0
 
 
 def test_chunked_tiny_chunks_still_exact(spark, tiny):
