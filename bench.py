@@ -71,8 +71,14 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name, fn in m.queries().items():
+        # plan construction INSIDE the timed region: iterative
+        # operators (dedup_clusters' label-propagation rounds, ivf's
+        # k-means) legitimately run jobs while building their final
+        # plan — timing only the materialize would hide that work
+        t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        dt = _materialize(df)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
         out[name] = round(dt, 3)
         log(f"  {name}: {dt:.2f}s")
     return out

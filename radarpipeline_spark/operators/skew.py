@@ -203,10 +203,10 @@ def chunked_feature_vector(
         F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
     ]
     if strategy == "prefix":
-        # prefix totals + self-as-of within (entity, chunk) — the halo
-        # rows (__h2=1) participate as anchors so frame diffs near the
-        # chunk head stay exact; same bit-identical stats as the plain
-        # prefix path (pinned by test_skew equality vs plain)
+        # growing-frame diffs within (entity, chunk) — the halo rows
+        # (__h2=1) are present in the partition so frame diffs near
+        # the chunk head stay exact; same bit-identical stats as the
+        # plain prefix path (pinned by test_skew equality vs plain)
         t1 = u2.select(*carry, "__chunk", *sliding_feats)
         t1 = prefix_lat_stats(
             t1, [entity_col, "__chunk"], ts_col, "inter_turn_latency_s",

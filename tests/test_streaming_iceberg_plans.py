@@ -48,7 +48,7 @@ def test_warehouse_roundtrip_and_pruning(spark, tiny, tmp_path):
 def test_feature_plan_fused_shape(spark, tiny):
     """Exchange budget is pinned per strategy: sliding = 2 (one
     shuffle for the conv_id windows, one for the as-of union);
-    prefix = 3 (the prefix-total union loses the partitioning info and
+    prefix = 3 (the prefix-total union loses partitioning info and
     re-shuffles 2n NARROW rows — the deliberate price for
     frame-size-independent window cost, measured 2x faster end to
     end).  A refactor that adds shuffles beyond these fails here."""
