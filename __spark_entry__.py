@@ -625,12 +625,14 @@ WITH base AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_subwords,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
   FROM documents
 )
-SELECT doc_id, n_chars, n_tokens,
+SELECT doc_id, n_chars, n_tokens, n_subwords,
        round(n_chars / n_tokens, 6) AS avg_token_len,
        round(n_alpha / n_chars, 6) AS alpha_ratio,
        round(n_digit / n_chars, 6) AS digit_ratio,

@@ -33,12 +33,20 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     n_tokens = F.size(t)
+    # BPE-ish subword segmentation proxy: alpha runs, digit runs, and
+    # single non-alnum glyphs — the coarse split a byte-pair tokenizer
+    # starts from.  Only basic character classes, so the Java-regex and
+    # RE2 (DuckDB oracle) dialects agree exactly.
+    n_subwords = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    )
     # try_divide: empty text (n_chars = 0) yields NULL ratios instead of
     # an ANSI divide-by-zero error
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
+        n_subwords.cast("long").alias("n_subwords"),
         F.round(F.try_divide(n_chars, n_tokens), 6).alias("avg_token_len"),
         F.round(F.try_divide(n_alpha, n_chars), 6).alias("alpha_ratio"),
         F.round(F.try_divide(n_digit, n_chars), 6).alias("digit_ratio"),
