@@ -301,16 +301,23 @@ def connected_components(
 
     labels = (
         adj.select("id").distinct().withColumn("component", F.col("id"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     for _ in range(max_iter):
         nbr_labels = adj.join(
             labels.withColumnRenamed("id", "nbr"), on="nbr"
         ).select("id", "component")
+        # localCheckpoint (not just persist): an iterative plan whose
+        # lineage grows per round re-embeds every prior iteration in
+        # the final query plan (audited at ~1000 exchanges after
+        # convergence on a small graph) — truncating lineage keeps the
+        # plan a single join+agg per round and bounds optimizer time.
+        # For cross-job durability the engine's checkpoint.py bucket
+        # machinery applies; this is intra-job only.
         new_labels = (
             nbr_labels.unionByName(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component", "old"), on="id"
@@ -319,7 +326,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
