@@ -440,6 +440,34 @@ def q_media_features(spark, sf_dir):
 
 # ------------------------------------------------------- TPC-H-style
 
+# Money aggregates use EXACT integer arithmetic: prices carry 2
+# decimals and discounts 2 decimals, so price*(1-discount) is an exact
+# integer number of ten-thousandths.  Summing doubles instead is
+# summation-order-dependent — verified failure: q3 revenue off by one
+# cent on 6 of 5.1k groups at sf0.1.  The long sums are exact in both
+# engines; the finishing division/rounding is one identical IEEE
+# expression (integer-scale halves round away from zero in both).
+def _cents():  # lazy: Columns need an active SparkContext
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+
+
+def _disc_c():
+    return F.round(F.col("l_discount") * 100, 0).cast("long")
+
+
+def _rev_e4():
+    return _cents() * (F.lit(100) - _disc_c())
+
+
+def _epd_e4():  # extendedprice * discount (q6)
+    return _cents() * _disc_c()
+
+
+def _money2(sum_col):
+    """exact integer sum -> value rounded to 2 decimals, engine-identical"""
+    return F.round(sum_col.cast("double") / F.lit(100.0), 0) / F.lit(100.0)
+
+
 def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -447,10 +475,8 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            (F.sum(_cents()).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            _money2(F.sum(_rev_e4())).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
@@ -472,11 +498,7 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money2(F.sum(_rev_e4())).alias("revenue"))
         .filter(F.col("revenue") > 1000.0)
     )
 
@@ -723,10 +745,11 @@ SELECT media_id, kind,
 FROM fnv
 """,
             "q1_pricing_summary": """
+-- money sums on exact integer cents / ten-thousandths (engine twin)
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 100, 0) / 100 AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
@@ -736,7 +759,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
             "q3_shipping_priority": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 100, 0) / 100 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -744,7 +767,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1996-03-15'
   AND l_shipdate > TIMESTAMP '1996-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000.0
+HAVING round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 100, 0) / 100 > 1000.0
 """,
             "events_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
@@ -791,11 +814,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money2(F.sum(_rev_e4())).alias("revenue"))
     )
 
 
@@ -843,7 +862,7 @@ def oracle_sql():  # noqa: F811
     o["asof_backfill_pandas"] = o["asof_backfill"]
     o["q5_supplier_volume"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 100, 0) / 100 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -970,9 +989,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _money2(F.sum(_epd_e4())).alias("revenue"),
             F.count("*").cast("long").alias("n_items"),
         )
     )
@@ -993,7 +1010,7 @@ _BASE_ORACLES4 = oracle_sql
 def oracle_sql():  # noqa: F811
     o = _BASE_ORACLES4()
     o["q6_forecast_revenue"] = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 100 AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
