@@ -509,11 +509,14 @@ def q_events_daily(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     # day as an ISO string: DATE-typed values don't compare cleanly
     # across Spark/DuckDB/pandas result paths
+    # value is cent-quantized in the data: sum exact integer cents
+    # (double sums are order-dependent across engines)
+    vc = F.round(F.col("value") * 100, 0).cast("long")
     return ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
     ).agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        (F.sum(vc).cast("double") / F.lit(100.0)).alias("sum_value"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
 
@@ -772,7 +775,8 @@ HAVING round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - C
             "events_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -1125,7 +1129,8 @@ def q_events_rollup(spark, sf_dir):
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .cast("double") / F.lit(100.0)).alias("sum_value"),
         )
         .select("day", "event_type", "gid", "n_events", "sum_value")
     )
@@ -1142,10 +1147,14 @@ def q_events_pivot(spark, sf_dir):
     out = (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 4))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")))
     )
     return out.select(
-        "day", *[F.col(t).alias(f"v_{t}") for t in _EVENT_TYPES]
+        "day",
+        *[
+            (F.col(t).cast("double") / F.lit(100.0)).alias(f"v_{t}")
+            for t in _EVENT_TYPES
+        ],
     )
 
 
@@ -1238,17 +1247,18 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        CAST(CASE WHEN GROUPING(strftime(ts, '%Y-%m-%d')) = 1 THEN 2 ELSE 0 END
             + GROUPING(event_type) AS BIGINT) AS gid,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_value
 FROM events
 GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
 """
     o["events_pivot"] = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
-       round(sum(value) FILTER (event_type = 'click'), 4)    AS v_click,
-       round(sum(value) FILTER (event_type = 'error'), 4)    AS v_error,
-       round(sum(value) FILTER (event_type = 'purchase'), 4) AS v_purchase,
-       round(sum(value) FILTER (event_type = 'signup'), 4)   AS v_signup,
-       round(sum(value) FILTER (event_type = 'view'), 4)     AS v_view
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) FILTER (event_type = 'click') AS DOUBLE)/100.0 AS v_click,
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) FILTER (event_type = 'error') AS DOUBLE)/100.0 AS v_error,
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) FILTER (event_type = 'purchase') AS DOUBLE)/100.0 AS v_purchase,
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) FILTER (event_type = 'signup') AS DOUBLE)/100.0 AS v_signup,
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) FILTER (event_type = 'view') AS DOUBLE)/100.0 AS v_view
 FROM events
 GROUP BY 1
 """
