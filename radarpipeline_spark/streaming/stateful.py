@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -89,6 +90,100 @@ def stream_sessionize(
             fn,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("asof_aux_value", DoubleType(), True),
+    ]
+)
+
+# (has_aux, last_aux_us, last_aux_value): the whole LAST aux row is
+# carried atomically — has_aux distinguishes "no aux seen yet" from
+# "last aux row had a NULL value" (merge_asof semantics, matching the
+# batch operator's packed-struct carry)
+ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("has_aux", IntegerType(), True),
+        StructField("last_aux_us", LongType(), True),
+        StructField("last_aux_value", DoubleType(), True),
+    ]
+)
+
+
+def _carry_asof(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    has_aux, last_us, last_val = (
+        state.get if state.exists else (0, None, None)
+    )
+    for pdf in pdfs:
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        # aux rows sort BEFORE turn rows at equal ts (side 0 < 1) —
+        # the batch union trick's tie rule
+        pdf = (
+            pdf.assign(__us=us)
+            .sort_values(["__us", "side"], ignore_index=True)
+        )
+        is_aux = pdf["side"].to_numpy() == 0
+        # positional last-aux carry, atomic w.r.t. NULL values: track
+        # the INDEX of the last aux row, not its (possibly-NaN) value
+        idx = pd.Series(pd.array(range(len(pdf)), dtype="Int64"))
+        last_aux_idx = idx.where(is_aux).ffill()
+        carried = pd.Series([None] * len(pdf), dtype="float64")
+        mask = last_aux_idx.notna()
+        carried[mask.to_numpy()] = (
+            pdf["aux_value"].to_numpy()[
+                last_aux_idx[mask].astype(int).to_numpy()
+            ]
+        )
+        if has_aux:
+            pre = last_aux_idx.isna()
+            carried[pre.to_numpy()] = last_val
+        turns = pdf.loc[~is_aux].copy()
+        turns["asof_aux_value"] = carried[~is_aux]
+        if is_aux.any():
+            last_aux = pdf.loc[is_aux].iloc[-1]
+            has_aux = 1
+            last_us = int(last_aux["__us"])
+            v = last_aux["aux_value"]
+            last_val = None if pd.isna(v) else float(v)
+        yield turns[["conv_id", "turn_idx", "ts", "asof_aux_value"]].astype(
+            {"turn_idx": "int32"}
+        )
+    state.update((has_aux, last_us, last_val))
+
+
+def stream_asof_backfill(union_stream: DataFrame) -> DataFrame:
+    """Streaming as-of backfill (the batch ``asof_join`` twin): latest
+    aux value at-or-before each turn, carried across micro-batches.
+
+    Input: ONE keyed stream unioning both sides —
+    ``(conv_id, turn_idx, ts, side, aux_value)`` with ``side=0`` for
+    aux rows (turn_idx ignored) and ``side=1`` for turn rows
+    (aux_value ignored).  Unioning is the streaming analogue of the
+    batch union trick and avoids a stream-stream join's buffering.
+
+    Same ordering contract as :func:`stream_sessionize`: rows may be
+    unordered within a micro-batch, batches are in-order per
+    conversation.
+    """
+    return (
+        union_stream.select("conv_id", "turn_idx", "ts", "side", "aux_value")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _carry_asof,
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=ASOF_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -104,3 +104,103 @@ def test_session_window_drops_late_data(spark, tmp_path):
     first = res.filter(F.col("session_start") == t0).collect()
     assert len(first) == 1
     assert first[0]["n_turns"] == 2  # the late turn_idx=3 row was dropped
+
+
+def test_stream_asof_matches_batch(spark, tiny, aux, tmp_path):
+    """Streaming as-of backfill == batch asof_join, with the stream cut
+    mid-conversation (state carries the last aux row across batches)
+    and a NULL-valued aux row carried atomically."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from radarpipeline_spark.operators import asof_join
+    from radarpipeline_spark.streaming.stateful import stream_asof_backfill
+
+    t0 = dt.datetime(2030, 1, 1)
+    extra_turns = spark.createDataFrame(
+        [("conv-nullaux", i, "user", "x", None, t0 + dt.timedelta(seconds=60 * i))
+         for i in range(6)],
+        tiny.schema,
+    )
+    extra_aux = spark.createDataFrame(
+        [
+            ("conv-nullaux", t0 + dt.timedelta(seconds=30), 7.0),
+            # NULL value: must be carried atomically, not skipped
+            ("conv-nullaux", t0 + dt.timedelta(seconds=150), None),
+        ],
+        "conv_id string, ts timestamp_ntz, aux_value double",
+    )
+    turns = tiny.unionByName(extra_turns)
+    auxes = aux.unionByName(extra_aux)
+
+    u = turns.select(
+        "conv_id", "turn_idx", "ts",
+        F.lit(1).alias("side"), F.lit(None).cast("double").alias("aux_value"),
+    ).unionByName(
+        auxes.select(
+            "conv_id", F.lit(-1).alias("turn_idx"), "ts",
+            F.lit(0).alias("side"), "aux_value",
+        )
+    )
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("side", IntegerType()),
+        StructField("aux_value", DoubleType()),
+    ])
+
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    # split BOTH sides at a global time cut: the operator's contract is
+    # in-order batches per conversation — for both turn AND aux rows
+    lo, hi = turns.agg(F.min("ts"), F.max("ts")).collect()[0]
+    T = lo + (hi - lo) / 2
+    first = u.filter(F.col("ts") <= F.lit(T))
+    second = u.filter(F.col("ts") > F.lit(T))
+    first.select(*[f.name for f in schema.fields]).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            stream_asof_backfill(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    second.select(*[f.name for f in schema.fields]).write.mode("append").parquet(src)
+    drain()
+
+    batch = asof_join(turns, auxes).select(
+        "conv_id", "turn_idx", "ts", "asof_aux_value"
+    )
+    streamed = spark.read.parquet(out).select(
+        "conv_id", "turn_idx", "ts", "asof_aux_value"
+    )
+    assert streamed.count() == batch.count() == turns.count()
+    key = lambda df: df.select(  # noqa: E731
+        F.concat_ws("\x01", *[
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in ["conv_id", "turn_idx", "ts", "asof_aux_value"]
+        ]).alias("r")
+    )
+    assert key(batch).exceptAll(key(streamed)).count() == 0
+    assert key(streamed).exceptAll(key(batch)).count() == 0
+    # atomic NULL carry: turns after the NULL aux row see NULL, not 7.0
+    nz = {r["turn_idx"]: r["asof_aux_value"]
+          for r in streamed.filter(F.col("conv_id") == "conv-nullaux").collect()}
+    assert nz[0] is None and nz[1] == 7.0 and nz[5] is None
