@@ -1182,6 +1182,18 @@ def q_latency_quartiles(spark, sf_dir):
     )
 
 
+def q_doc_sample(spark, sf_dir):
+    """Deterministic hash sample: membership is a pure function of
+    (seed, doc_id) — stable under repartitioning/retries and identical
+    in the oracle, unlike RNG-based df.sample()."""
+    from radarpipeline_spark.operators.sampling import hash_sample
+
+    return (
+        hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 10)
+        .select("doc_id", "lang")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: jaccard pairs -> connected components via
     distributed min-label propagation (driver loop over iterations
@@ -1198,6 +1210,7 @@ _BASE_QUERIES7 = queries
 
 def queries():  # noqa: F811
     q = _BASE_QUERIES7()
+    q["doc_sample"] = q_doc_sample
     q["dedup_clusters"] = q_dedup_clusters
     q["events_rollup"] = q_events_rollup
     q["events_pivot"] = q_events_pivot
@@ -1241,6 +1254,11 @@ walk(id, lab) AS (
 SELECT id AS doc_id, min(lab) AS cluster_id,
        (id = min(lab)) AS is_canonical
 FROM walk GROUP BY id
+"""
+    o["doc_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 100 < 10
 """
     o["events_rollup"] = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

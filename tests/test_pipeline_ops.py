@@ -111,6 +111,32 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     assert sorted(map(tuple, approx2.collect())) == sorted(map(tuple, approx.collect()))
 
 
+def test_hash_sampling_deterministic_and_stratified(spark):
+    from radarpipeline_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(10_000).withColumn(
+        "stratum", (F.col("id") % 3).cast("string")
+    )
+    s1 = {r.id for r in hash_sample(df, "id", 10).collect()}
+    # deterministic: same membership after an arbitrary repartition
+    s2 = {r.id for r in hash_sample(df.repartition(13), "id", 10).collect()}
+    assert s1 == s2
+    assert 0.07 < len(s1) / 10_000 < 0.13          # ~10% expected rate
+    # different seed -> different (mostly disjoint) sample
+    s3 = {r.id for r in hash_sample(df, "id", 10, seed=7).collect()}
+    assert len(s1 & s3) < len(s1) * 0.5
+    # stratified: per-stratum rates honored, default drops the rest
+    st = stratified_hash_sample(
+        df, "id", "stratum", {"0": 100, "1": 10}, default_pct=0
+    ).groupBy("stratum").count().collect()
+    rates = {r.stratum: r["count"] for r in st}
+    assert rates.get("0") == 3334 and "2" not in rates
+    assert 200 < rates.get("1", 0) < 500
+
+
 def test_connected_components_and_clusters(spark, docs):
     from radarpipeline_spark.operators.dedup import (
         connected_components,
