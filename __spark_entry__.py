@@ -340,24 +340,34 @@ from radarpipeline_spark.operators.similarity import (  # noqa: E402
 from radarpipeline_spark.operators.text import doc_fingerprint, lang_id, text_stats  # noqa: E402
 
 
+def _spread(spark, df):
+    """Round-robin shuffle ONLY when the scan is under-partitioned.
+
+    ``repartition()`` always exchanges the whole table — file count
+    does not gate it — so an unconditional call would shuffle a 100 TB
+    corpus in production.  The testdata ships as one single-row-group
+    file -> one scan partition, which would run every downstream
+    explode/hash single-threaded; there (and only there) the
+    round-robin spread is worth its few MB.  When the scan already
+    yields >= defaultParallelism splits (any many-file production
+    table), the input passes through untouched — no Exchange in the
+    plan (pinned by tests/test_pipeline_ops.py)."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def _docs(spark, sf_dir):
-    """documents table, spread across the cluster: the testdata ships
-    as one single-row-group file -> one scan partition, which would run
-    every downstream explode/hash single-threaded.  The round-robin
-    shuffle is a few MB; at production scale the table arrives as many
-    files and Spark's scan splitting makes this a no-op-sized safety
-    net, not a bottleneck."""
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents table, spread across the cluster iff the scan is
+    under-partitioned (see _spread)."""
+    return _spread(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark, sf_dir):
     """embeddings table, spread like _docs (corpus-side parallelism
     drives the ANN scans)."""
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return _spread(spark, load_table(spark, sf_dir, "embeddings"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1304,8 +1314,11 @@ def _ivf_oracle_sql(
     (operators/similarity.py: ivf_index / ivf_cosine_topk), iterations
     unrolled as CTEs.  Every float reduction is a strict left fold from
     0.0 — the same order Spark's F.aggregate uses — and centroid sums
-    run in ascending cid order (the engine sorts its collect_list), so
-    centroids, assignments, probes and ranks are all bit-identical."""
+    are EXACT fixed-point integer sums (floor(x * 2^21) per component;
+    the power-of-two scale is exact for float32-derived doubles), so
+    they are order-independent by exactness and the replay needs no
+    ordering assumptions: centroids, assignments, probes and ranks are
+    all bit-identical."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -1320,7 +1333,6 @@ def _ivf_oracle_sql(
             f"list_transform({a}, xs -> xs * xs)), (accn, xn) -> accn + xn))"
         )
 
-    zeros = f"list_transform(range(1, {dim + 1}), jz -> 0.0::DOUBLE)"
     ctes = [
         f"""corpus AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS v,
@@ -1346,19 +1358,19 @@ def _ivf_oracle_sql(
   ) WHERE rk = 1
 )""")
         ctes.append(f"""g{i} AS (
-  SELECT list_id, list(v ORDER BY cid) AS vs, count(*) AS n
-  FROM a{i} GROUP BY list_id
+  SELECT a.list_id, t.jd,
+         SUM(CAST(floor(a.v[t.jd] * {float(1 << 21)}) AS BIGINT)) AS sq,
+         COUNT(*) AS n
+  FROM a{i} a, (SELECT unnest(range(1, {dim + 1})) AS jd) t
+  GROUP BY a.list_id, t.jd
 )""")
         ctes.append(f"""cent{i + 1} AS (
   SELECT list_id, centroid, {norm('centroid')} AS cnorm
   FROM (
     SELECT list_id,
-           list_transform(
-             list_reduce(list_prepend({zeros}, vs),
-               (acc, w) -> list_transform(range(1, {dim + 1}),
-                                          ja -> acc[ja] + w[ja])),
-             xm -> xm / n) AS centroid
-    FROM g{i})
+           list((sq::DOUBLE / n::DOUBLE) / {float(1 << 21)} ORDER BY jd)
+             AS centroid
+    FROM g{i} GROUP BY list_id)
 )""")
     ctes.append(f"""afinal AS (
   SELECT cid, list_id FROM (

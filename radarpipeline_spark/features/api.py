@@ -104,23 +104,33 @@ def discover_feature_groups(location: str) -> List[FeatureGroup]:
 
     ``location`` is a dotted module name (``my_pkg.features``) or a
     filesystem path (``/plugins/my_features.py`` or a package dir).
+    Paths load via ``importlib.util.spec_from_file_location`` under a
+    private module name — NOT sys.path mutation + import-by-basename,
+    which sys.modules short-circuits when the basename collides with an
+    already-imported module (a plugin file named ``features.py`` would
+    silently scan the wrong module).
     """
     import importlib
+    import importlib.util
     import inspect
     import os
-    import sys
 
     looks_like_path = (
         os.path.sep in location or location.endswith(".py") or os.path.isdir(location)
     )
     if looks_like_path:
         path = location.rstrip("/")
-        if path.endswith(".py"):
-            path = path[:-3]
-        parent, base = os.path.dirname(path), os.path.basename(path)
-        if parent and parent not in sys.path:
-            sys.path.insert(1, parent)
-        module = importlib.import_module(base)
+        if os.path.isdir(path):
+            path = os.path.join(path, "__init__.py")
+        elif not path.endswith(".py"):
+            path = path + ".py"
+        base = os.path.basename(os.path.dirname(path) if path.endswith("__init__.py") else path[:-3])
+        mod_name = f"_radarpipeline_plugin_{base.replace('-', '_')}_{abs(hash(os.path.abspath(path))) & 0xFFFFFF:x}"
+        spec = importlib.util.spec_from_file_location(mod_name, path)
+        if spec is None or spec.loader is None:
+            raise ValueError(f"cannot load plugin module from: {location}")
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
     else:
         module = importlib.import_module(location)
 

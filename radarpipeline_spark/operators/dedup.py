@@ -72,16 +72,22 @@ MERSENNE61 = (1 << 61) - 1
 
 def mix_constants(n_hashes: int) -> list[tuple[int, int]]:
     """Universal-hash constants for the minhash mix, md5-derived so the
-    DuckDB oracle embeds the identical literals.  a < 2^31 keeps
-    a*h32 + b inside a 64-bit long (native JVM arithmetic — a
-    decimal(38,0) mix measured SLOWER than the md5 it replaced)."""
+    DuckDB oracle embeds the identical literals.  a < 2^31 and b < 2^32
+    keep a*h32 + b strictly inside a signed 64-bit long
+    (max < 2^31 * 2^32 + 2^32 = 2^63 + 2^32... more precisely
+    a <= 2^31 - 1, h32 <= 2^32 - 1, b <= 2^32 - 1 so
+    a*h32 + b <= (2^31-1)(2^32-1) + 2^32 - 1 < 2^63 - 2^31 < 2^63 - 1)
+    — native JVM arithmetic with no ANSI overflow at any n_hashes (a
+    decimal(38,0) mix measured SLOWER than the md5 it replaced).  An
+    unreduced 60-bit b overflowed int64 for ~5.7% of shingle hashes at
+    i=13 with the default n_hashes=16 (ANSI ArithmeticException)."""
     import hashlib
 
     def h(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     return [
-        (h(f"mixa:{i}") % ((1 << 31) - 1) + 1, h(f"mixb:{i}"))
+        (h(f"mixa:{i}") % ((1 << 31) - 1) + 1, h(f"mixb:{i}") % (1 << 32))
         for i in range(n_hashes)
     ]
 
@@ -277,6 +283,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over an undirected edge list — the cluster
     step of near-duplicate dedup (candidate pairs -> duplicate groups,
@@ -290,8 +297,19 @@ def connected_components(
     diameter — near-dup clusters are shallow, so this converges in a
     handful of rounds; ``max_iter`` bounds adversarial chains.
 
+    If the labels are still changing after ``max_iter`` rounds (a
+    component with diameter > max_iter — long pairwise chains are real
+    in templated corpora), silently returning split clusters would mark
+    several "canonical" docs inside one true duplicate group, so
+    ``on_nonconverged`` controls the failure mode: ``"raise"`` (default)
+    raises RuntimeError, ``"warn"`` logs loudly and returns the partial
+    labels (components may be split, labels are still a refinement —
+    no two distinct true components ever share a label).
+
     Returns (id, component) for every node appearing in ``edges``.
     """
+    import logging
+
     from pyspark import StorageLevel
 
     # undirected: materialize both directions once
@@ -302,6 +320,7 @@ def connected_components(
     labels = (
         adj.select("id").distinct().withColumn("component", F.col("id"))
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr_labels = adj.join(
             labels.withColumnRenamed("id", "nbr"), on="nbr"
@@ -330,6 +349,16 @@ def connected_components(
         if changed == 0:
             break
     adj.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; a component has diameter > {max_iter} "
+            f"and its labels are still split. Raise max_iter (rounds "
+            f"needed = component diameter)."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 
@@ -340,15 +369,18 @@ def dedup_clusters(
     shingle_len: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Near-duplicate clusters: n-gram Jaccard pairs above ``threshold``
     -> connected components -> (doc_id, cluster_id, is_canonical).
     cluster_id is the smallest doc id in the component (the member a
-    dedup pass would keep)."""
+    dedup pass would keep).  Raises if components haven't converged
+    within ``max_iter`` label-propagation rounds (see
+    :func:`connected_components`)."""
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_len, threshold, max_doc_freq
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, max_iter=max_iter)
     return comp.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster_id"),

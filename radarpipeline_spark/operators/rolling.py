@@ -193,7 +193,9 @@ def rolling_features_prefix(
 
     min/max are not subtractable and stay sliding; the row-frame pair
     (turns/tool-rate, last-k rows) is cheap and stays sliding too.
-    One persist (the totals pass feeds both union branches); no extra
+    No persist: probe+anchor twins fan out of the single totals pass
+    via one inline explode (a prior two-consumer union needed a persist
+    that leaked cached blocks for the session lifetime); no extra
     shuffle — every pass partitions on ``entity_col``.
     """
     row_frame = (
@@ -247,8 +249,6 @@ def prefix_lat_stats(
     prefix-total + self-as-of technique, partitioned by
     ``partition_cols`` — reusable by the chunked/skew path, which
     partitions on (entity, chunk).  See rolling_features_prefix."""
-    from pyspark import StorageLevel
-
     lat_us = F.round(F.col(latency_col) * F.lit(1e6), 0).cast("long")
     a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
     b = lat_us - a * F.lit(1 << 21)
@@ -268,28 +268,41 @@ def prefix_lat_stats(
         F.sum(F.lit(2) * a * b).over(cum_frame).alias("__t1"),
         F.sum(b * b).over(cum_frame).alias("__t0"),
         ts_us(ts_col).alias("__us"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
+    # Each totals row fans out into its ANCHOR twin (tag 0, carries the
+    # running totals at position ts) and its PROBE twin (tag 1, at
+    # position ts - Δ - 1, totals NULL) via ONE inline explode — a
+    # single derivation of the window pass, so no persist is needed
+    # (the previous union of two totals consumers persisted the window
+    # output and leaked the cached blocks for the session lifetime).
     cum_t = "struct<n:bigint,s:bigint,c2:bigint,c1:bigint,c0:bigint>"
-    anchors = totals.select(
-        *partition_cols,
-        F.col("__us").alias("__pos"),
-        F.lit(0).alias("__tag"),
-        F.struct(
-            F.col("__tn").alias("n"),
-            F.col("__ts").alias("s"),
-            F.col("__t2").alias("c2"),
-            F.col("__t1").alias("c1"),
-            F.col("__t0").alias("c0"),
-        ).alias("__cum"),
+    cum_struct = F.struct(
+        F.col("__tn").alias("n"),
+        F.col("__ts").alias("s"),
+        F.col("__t2").alias("c2"),
+        F.col("__t1").alias("c1"),
+        F.col("__t0").alias("c0"),
     )
-    probes = totals.select(
+    u = totals.select(
         "*",
-        (F.col("__us") - F.lit(range_seconds * MICROS + 1)).alias("__pos"),
-        F.lit(1).alias("__tag"),
-        F.lit(None).cast(cum_t).alias("__cum"),
-    )
-    u = probes.unionByName(anchors, allowMissingColumns=True)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__us").alias("__pos"),
+                    F.lit(0).alias("__tag"),
+                    cum_struct.cast(cum_t).alias("__cum"),
+                ),
+                F.struct(
+                    (F.col("__us") - F.lit(range_seconds * MICROS + 1)).alias(
+                        "__pos"
+                    ),
+                    F.lit(1).alias("__tag"),
+                    F.lit(None).cast(cum_t).alias("__cum"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("*", "__e.*").drop("__e")
     locf = (
         Window.partitionBy(*partition_cols)
         .orderBy("__pos", "__tag")

@@ -20,6 +20,14 @@ from radarpipeline_spark.operators.dedup import h60
 
 
 def _dot(a, b):
+    """Dot product as a strict left fold from 0.0 (bit-reproducible in
+    any engine that folds left-to-right — DuckDB list_reduce).
+
+    Deliberately a higher-order function, NOT an unrolled element_at
+    chain: a dim=64 unroll was A/B'd and measured no faster end-to-end
+    (the HOF is CodegenFallback but Arrow-batch-evaluated), while
+    costing seconds of py4j round-trips at plan-build time and tripping
+    janino method-size limits when several dots share a projection."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,6 +36,8 @@ def _dot(a, b):
 
 
 def _norm(a):
+    """L2 norm, left fold from 0.0 (see :func:`_dot` for why this stays
+    a higher-order function)."""
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -67,9 +77,10 @@ def cosine_topk(
         .select(
             "query_id",
             "corpus_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -85,6 +96,17 @@ def cosine_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def _sniff_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality: from column metadata (``{"dim": N}``)
+    when the writer recorded it — zero driver actions — else a ONE-ROW
+    driver action as a convenience fallback (blocks plan construction;
+    pass ``dim`` explicitly in production)."""
+    meta = df.schema[vec_col].metadata or {}
+    if "dim" in meta:
+        return int(meta["dim"])
+    return len(df.select(vec_col).first()[0])
 
 
 def plane_weights(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -114,7 +136,11 @@ def hyperplane_signature(
 
     The per-plane component is a strict left fold (aggregate starting
     at 0.0) so the float result is bit-reproducible in any engine that
-    folds left-to-right (DuckDB list_reduce in the oracle)."""
+    folds left-to-right (DuckDB list_reduce in the oracle).  The fold
+    stays a higher-order function over a literal weight array: unrolled
+    per-term sums measured no faster at real batch sizes, risk janino
+    method-size limits, and cost ~256 py4j calls per plane set to
+    build."""
     weights = plane_weights(dim, n_planes, seed)
 
     def plane_bit(p: int):
@@ -146,9 +172,10 @@ def lsh_cosine_topk(
     exact cosine + rank within candidates.  Recall/cost tradeoff via
     n_planes (more planes = smaller buckets = faster, lower recall).
 
-    Pass ``dim`` explicitly in production: the fallback runs a one-row
-    driver action to sniff it, which blocks plan construction."""
-    dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
+    Pass ``dim`` explicitly in production (or record it as column
+    metadata): the last-resort fallback runs a one-row driver action to
+    sniff it, which blocks plan construction."""
+    dim = dim if dim is not None else _sniff_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
@@ -167,9 +194,10 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             "corpus_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -199,6 +227,8 @@ def embedding_near_dup_pairs(
     sharing a hyperplane bucket are compared — the linear-ish scale
     path, at some recall cost near the threshold.
     """
+    if n_planes and dim is None:
+        dim = _sniff_dim(corpus, vec_col)
     # norms hoisted to one-per-row: recomputing them per PAIR turns an
     # O(n*d) preprocessing into O(n^2*d) work (measured 43s -> ~14s at
     # 5000x64).  Same FP expression per pair, so results are bit-equal.
@@ -213,7 +243,6 @@ def embedding_near_dup_pairs(
         _norm(F.col(vec_col)).alias("nb"),
     )
     if n_planes:
-        dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
         sig = hyperplane_signature
         a = a.withColumn("bucket", sig(F.col("va"), dim, n_planes, seed))
         b = b.withColumn("bucket", sig(F.col("vb"), dim, n_planes, seed))
@@ -225,34 +254,35 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 
-def _avg_vec(col, order_col, dim: int):
-    """Element-wise mean of an array column via aggregate over a
-    zip-summed accumulator (JVM higher-order functions).
+# Fixed-point quantization scale for the IVF centroid sums.  A power
+# of two: x * 2^21 only shifts the exponent, so it is EXACT for any
+# float32-derived double, and floor() of an exact double is unambiguous
+# in every engine — no rounding-mode traps.  Quantization error per
+# component <= 2^-21, irrelevant for an approximate index, and the
+# integer sums it buys are order-independent by exactness.
+IVF_Q_SCALE = 1 << 21
 
-    Summation order is pinned by sorting the collected (order, vec)
-    pairs: float addition is non-associative, so an unsorted
-    collect_list would make centroid values depend on task scheduling —
-    breaking run-to-run determinism AND the DuckDB oracle replay."""
-    pairs = F.sort_array(
-        F.collect_list(F.struct(order_col.alias("o"), col.alias("x")))
-    )
-    zero = F.array_repeat(F.lit(0.0), dim)
-    summed = F.aggregate(
-        pairs,
-        zero,
-        lambda acc, p: F.zip_with(acc, p.x, lambda a, b: a + b.cast("double")),
-    )
-    n = F.size(pairs)
-    return F.transform(summed, lambda x: x / n)
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side L2 norm as a strict left fold from 0.0 — the same
+    IEEE addition sequence as the engine's _norm / the DuckDB oracle's
+    list_reduce, so centroid norms are bit-identical everywhere."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
 
 
 def ivf_index(
@@ -263,59 +293,134 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: deterministic seeded k-means.
+    ``keep_vec=True`` returns assignments as (cid, v, vn, list_id) so a
+    downstream probe scan needs no corpus re-join.
 
     Init: the n_lists corpus rows with the smallest h60(seed, id) —
     a reproducible pseudo-random sample with no Date/random calls.
-    Iterate: assign-to-nearest-centroid (broadcast centroids, one corpus
-    pass) -> recompute means.  Returns (assignments, centroids); both
-    deterministic given (corpus, seed).
+    Iterate: assign-to-nearest-centroid -> recompute means.  Returns
+    (assignments, centroids); both deterministic given (corpus, seed).
 
-    Iterative DataFrame algorithm: each iteration is one broadcast join
-    + one groupBy — no driver-side loops over data, only over
-    iterations.  Centroids are collected to the driver (n_lists x dim
-    floats, tiny) to keep the assignment join a broadcast.
+    Designed for the 100 TB corpus:
+
+    * **Assignment is a pure projection** — centroids are driver-side
+      literals (n_lists x dim doubles, tiny), so nearest-centroid is an
+      argmax expression (array_max over (sim, -list_id) structs: max
+      sim, ties to the SMALLEST list id), not a corpus x centroids join
+      + row_number window.  Zero shuffles, embarrassingly parallel.
+    * **Centroid recomputation never holds a cluster in one buffer** —
+      components are fixed-point-quantized (floor(x * 2^21), exact
+      long) and summed via posexplode -> groupBy(list_id, d) with
+      map-side partial aggregation; only the n_lists x dim (sum, count)
+      cells reach the driver.  Exact integer sums are order-independent,
+      so centroids are bit-reproducible under any task schedule AND in
+      the DuckDB oracle replay (a previous design sorted a per-cluster
+      collect_list — one aggregation buffer held an entire cluster's
+      membership, unusable at scale).
+    * Per-row corpus norms are hoisted (computed once, not once per
+      centroid); centroid norms are computed on the driver with the
+      same left-fold float sequence as the engines'.
     """
     spark = corpus.sparkSession
-    dim = dim if dim is not None else len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+    dim = dim if dim is not None else _sniff_dim(corpus, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("vn"),
+    )
 
-    init = (
-        c.withColumn("__r", h60(F.concat_ws("#", F.lit(str(seed)), F.col("cid").cast("string"))))
+    init_rows = (
+        c.withColumn(
+            "__r",
+            h60(F.concat_ws("#", F.lit(str(seed)), F.col("cid").cast("string"))),
+        )
+        .select("v", "__r")
         .orderBy("__r")
         .limit(n_lists)
-        .select(F.col("v").alias("centroid"))
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[1], [float(x) for x in t[0]["centroid"]]))
         .collect()
     )
-    centroids = init  # list[(list_id, vector)]
+    centroids = [
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(sorted(init_rows, key=lambda r: r["__r"]))
+    ]
 
     def assign(cent) -> DataFrame:
-        cdf = spark.createDataFrame(cent, "list_id int, centroid array<double>")
-        sims = c.join(F.broadcast(cdf)).select(
-            "cid",
-            "v",
-            "list_id",
-            (_dot(F.col("v"), F.col("centroid"))
-             / (_norm(F.col("v")) * _norm(F.col("centroid")))).alias("sim"),
+        """cid, v, list_id — nearest centroid by cosine, ties to the
+        smallest list_id; one projection, no joins or windows."""
+        # The dot against each literal centroid is built as ONE SQL
+        # string per centroid (F.expr): structurally the same
+        # zip_with/aggregate left fold as _dot — bit-equal results —
+        # but ~8 py4j round-trips per iteration instead of n_lists*dim
+        # F.lit calls (measured ~0.8s of pure driver-side Column
+        # construction per iteration at 8x64; string literals
+        # round-trip exactly via repr -> correctly-rounded SQL cast).
+        # An unrolled element_at chain was also tried: no exec win and
+        # it trips janino method limits when n_lists dots share a
+        # projection.
+        entries = []
+        for lid, vec in cent:
+            arr_sql = (
+                "array("
+                + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec)
+                + ")"
+            )
+            dot_sql = (
+                f"aggregate(zip_with(v, {arr_sql}, "
+                f"(x, w) -> CAST(x AS DOUBLE) * w), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            sim = F.expr(dot_sql) / (
+                F.col("vn") * F.lit(_py_norm(vec))
+            )
+            entries.append(
+                F.struct(sim.alias("s"), F.lit(-lid).alias("nl"))
+            )
+        best = F.array_max(F.array(*entries))
+        return c.select(
+            "cid", "v", "vn", (-best.getField("nl")).cast("int").alias("list_id")
         )
-        w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("list_id"))
-        return sims.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") == 1
-        ).select("cid", "v", "list_id")
 
     for _ in range(iters):
-        assigned = assign(centroids)
+        sums = (
+            assign(centroids)
+            .select("list_id", F.posexplode("v").alias("d", "x"))
+            .select(
+                "list_id",
+                "d",
+                F.floor(
+                    F.col("x").cast("double") * F.lit(float(IVF_Q_SCALE))
+                ).cast("long").alias("q"),
+            )
+            .groupBy("list_id", "d")
+            .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
+            .collect()  # n_lists x dim scalar cells, not data
+        )
+        comp: dict[int, dict[int, int]] = {}
+        n_by_list: dict[int, int] = {}
+        for r in sums:
+            comp.setdefault(r["list_id"], {})[r["d"]] = r["sq"]
+            n_by_list[r["list_id"]] = r["n"]
         centroids = [
-            (r["list_id"], [float(x) for x in r["c"]])
-            for r in assigned.groupBy("list_id")
-            .agg(_avg_vec(F.col("v"), F.col("cid"), dim).alias("c"))
-            .collect()
+            (
+                lid,
+                [
+                    (float(comp[lid][d]) / float(n_by_list[lid]))
+                    / float(IVF_Q_SCALE)
+                    for d in range(dim)
+                ],
+            )
+            for lid in sorted(comp)
         ]
-    assignments = assign(centroids).select("cid", "list_id")
-    cdf = spark.createDataFrame(centroids, "list_id int, centroid array<double>")
+    assignments = assign(centroids)
+    if not keep_vec:
+        assignments = assignments.select("cid", "list_id")
+    cdf = spark.createDataFrame(
+        [(lid, vec, _py_norm(vec)) for lid, vec in centroids],
+        "list_id int, centroid array<double>, cnorm double",
+    )
     return assignments, cdf
 
 
@@ -333,12 +438,18 @@ def ivf_cosine_topk(
     """Approximate top-k via IVF: each query probes its n_probe nearest
     centroid lists; exact cosine + rank within those lists only.  Scan
     fraction ~ n_probe / n_lists of the corpus per query."""
-    assignments, cdf = ivf_index(corpus, n_lists, 3, id_col, vec_col, seed, dim)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    ).join(assignments.withColumnRenamed("cid", "corpus_id"), on="corpus_id")
+    dim = dim if dim is not None else _sniff_dim(corpus, vec_col)
+    assignments, cdf = ivf_index(
+        corpus, n_lists, 3, id_col, vec_col, seed, dim, keep_vec=True
+    )
+    # assignment already carries (v, vn) — no corpus re-join (a corpus
+    # self-join here would shuffle the 100 TB side twice)
+    c = assignments.select(
+        F.col("cid").alias("corpus_id"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+        "list_id",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -347,19 +458,24 @@ def ivf_cosine_topk(
     qsims = q.join(F.broadcast(cdf)).select(
         "query_id", "qv", "qn", "list_id",
         (_dot(F.col("qv"), F.col("centroid"))
-         / (F.col("qn") * _norm(F.col("centroid")))).alias("csim"),
+         / (F.col("qn") * F.col("cnorm"))).alias("csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("list_id"))
     probes = qsims.withColumn("rk", F.row_number().over(wq)).filter(
         F.col("rk") <= n_probe
     ).select("query_id", "qv", "qn", "list_id")
+    # probe side = n_queries x n_probe rows (the small batch) — broadcast
+    # it so the corpus-side candidate scan never shuffles on list_id
     sims = (
-        probes.join(c, on="list_id")
+        F.broadcast(probes).join(c, on="list_id")
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))

@@ -27,10 +27,39 @@ def _sorted(t: pd.DataFrame) -> pd.DataFrame:
     return t.sort_values(["conv_id", "turn_idx"], ignore_index=True)
 
 
-def _q_us(x: float) -> float:
-    """Quantize seconds to integer micros, half away from zero (the
-    engine's deterministic rounding in operators/rolling.py)."""
-    return np.sign(x) * np.floor(np.abs(x) * MICROS + 0.5) / MICROS
+def _round_half_up(x: float) -> int:
+    """Mirror Spark's ``round(double, 0)`` exactly: HALF_UP (away from
+    zero) applied to the double's SHORTEST decimal representation —
+    Spark's Round goes through Scala BigDecimal.decimal(d) (==
+    java BigDecimal.valueOf == Double.toString shortest form), and
+    Python ``repr(float)`` is the same shortest-decimal algorithm."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _lat_stats_exact(vals: np.ndarray) -> tuple[float, float]:
+    """Windowed latency mean/std EXACTLY as the engine computes them
+    (operators/rolling.py finish_lat_stats): recover integer micros per
+    value, take exact integer sums (order-independent), do the one
+    IEEE double division both engines share, and quantize to integer
+    micros BEFORE dividing by 1e6.  A float-summed ``vals.mean()``
+    quantized after the fact can land an ulp below a 0.5 µs half (n=2
+    windows with odd total micros) and flip the rounded value — the
+    exact cross-engine failure rolling.py documents."""
+    import math
+
+    lat_us = [_round_half_up(v * MICROS) for v in vals]
+    n, s = len(lat_us), sum(lat_us)
+    ssq = sum(v * v for v in lat_us)
+    # engine: sum_us.cast(double) / n.cast(double) — round each operand
+    # to double FIRST (matches Spark's cast order, not exact-rational /)
+    mean = _round_half_up(float(s) / float(n)) / MICROS
+    if n < 2:
+        return mean, np.nan
+    var = float(n * ssq - s * s) / float(n * (n - 1))
+    std = _round_half_up(math.sqrt(var)) / MICROS
+    return mean, std
 
 
 def oracle_sessionize(t: pd.DataFrame, gap_seconds: int = 1800) -> pd.DataFrame:
@@ -80,11 +109,10 @@ def oracle_rolling(
             if len(vals) == 0:
                 m = s = mn = mx = np.nan
             else:
-                # engine quantizes mean/std to integer micros
-                # (half-away-from-zero) for cross-engine determinism —
-                # mirror that here (operators/rolling.py)
-                m, mn, mx = _q_us(vals.mean()), vals.min(), vals.max()
-                s = _q_us(vals.std(ddof=1)) if len(vals) > 1 else np.nan
+                # exact integer-micros sums + the engine's own final
+                # double expressions — see _lat_stats_exact
+                m, s = _lat_stats_exact(vals)
+                mn, mx = vals.min(), vals.max()
             out_cols[f"latency_mean_{d}s"].append(m)
             out_cols[f"latency_std_{d}s"].append(s)
             out_cols[f"latency_min_{d}s"].append(mn)

@@ -20,3 +20,18 @@ def test_entry_runs(spark):
 def test_queries_run_sf0001(spark):
     for name, fn in m.queries().items():
         assert fn(spark, "/root/testdata/sf0.001").count() > 0, name
+
+
+def test_spread_is_conditional(spark):
+    """VERDICT r2: repartition() always shuffles — file count does not
+    gate it — so the corpus spread must be a no-op (the SAME plan, no
+    Exchange) whenever the scan already yields >= defaultParallelism
+    partitions, and only round-robin under-partitioned inputs."""
+    import __spark_entry__ as m
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(p + 4)
+    assert m._spread(spark, wide) is wide  # pass-through, no new plan
+    narrow = spark.range(10_000).coalesce(1)
+    out = m._spread(spark, narrow)
+    assert out.rdd.getNumPartitions() == p

@@ -242,3 +242,33 @@ def test_write_sorted_features(spark, tiny, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_plugin_discovery_survives_basename_collision(tmp_path):
+    """ADVICE r2: sys.path-insert + import-by-basename was short-
+    circuited by sys.modules when the plugin file's basename collided
+    with an already-imported module — silently scanning the WRONG
+    module.  Loading via spec_from_file_location must be immune."""
+    import json as _json  # ensure the colliding name is already imported
+
+    assert _json  # (imported)
+    from radarpipeline_spark.features.api import discover_feature_groups
+
+    plugin = tmp_path / "json.py"  # collides with stdlib json
+    plugin.write_text(
+        "from radarpipeline_spark.features.api import Feature, FeatureGroup\n"
+        "class F1(Feature):\n"
+        "    name = 'f1'\n"
+        "    required_input_data = []\n"
+        "    def calculate(self, data):\n"
+        "        return None\n"
+        "class CollidingPlugin(FeatureGroup):\n"
+        "    name = 'colliding_plugin'\n"
+        "    features = [F1]\n"
+    )
+    got = discover_feature_groups(str(plugin))
+    assert [g.name for g in got] == ["colliding_plugin"]
+    # stdlib json must be untouched
+    import sys
+
+    assert sys.modules["json"] is _json

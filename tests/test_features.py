@@ -53,3 +53,53 @@ def test_rolling_prefix_strategy_bit_equal(spark, tiny):
         "turn_idx", ignore_index=True
     )
     assert x[sorted(x.columns)].astype(str).equals(y[sorted(y.columns)].astype(str))
+
+
+def test_pandas_oracle_exact_integer_mean_on_half_lattice(spark):
+    """ADVICE r2: a float-summed vals.mean() quantized after the fact
+    can land an ulp below a 0.5 µs half and flip the rounded value.
+    The oracle must mirror the engine exactly: exact integer-µs sums,
+    then the engine's own double division + HALF_UP."""
+    import datetime as dt
+
+    from radarpipeline_spark.oracle.pandas_oracle import _lat_stats_exact
+
+    # n=2 window, odd total micros: exact mean = 3.5 µs, HALF_UP -> 4 µs
+    mean, std = _lat_stats_exact([3e-06, 4e-06])
+    assert mean == 4e-06
+    # engine cross-check on a sub-millisecond-gap conversation
+    t0 = dt.datetime(2024, 1, 1)
+    gaps_us = [0, 3, 7, 12, 25]  # microsecond-scale latencies
+    rows, acc = [], 0
+    for i, g in enumerate(gaps_us):
+        acc += g
+        rows.append(("c", i, "user", None, t0 + dt.timedelta(microseconds=acc)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp_ntz",
+    )
+    eng = (
+        rolling_features(lag_lead_features(df))
+        .toPandas()
+        .sort_values("turn_idx", ignore_index=True)
+    )
+    orc = oracle_rolling(
+        oracle_lag_lead(df.toPandas().sort_values("turn_idx", ignore_index=True))
+    )
+    for col in ("latency_mean_300s", "latency_std_300s"):
+        assert eng[col].astype(str).tolist() == orc[col].astype(str).tolist(), col
+
+
+def test_prefix_rolling_leaves_no_cached_blocks(spark, tiny):
+    """ADVICE r2: the prefix strategy used to persist its totals pass
+    and never unpersist — leaking cached blocks for the session
+    lifetime.  The probe/anchor fan-out is now a single-consumer
+    explode: materializing the prefix plan must not grow the session's
+    persistent-RDD set."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    base = lag_lead_features(tiny)
+    rolling_features(base, strategy="prefix").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before

@@ -247,3 +247,42 @@ def test_ivf_topk_recall(spark):
         for r in ivf_cosine_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
     }
     assert approx == approx2
+
+
+def test_minhash_mix_constants_fit_int64(spark, docs):
+    """ADVICE r2: with an unreduced 60-bit b, constant i=13 made
+    a*h32 + b overflow int64 for ~5.7% of 32-bit shingle hashes at the
+    DEFAULT n_hashes=16 — an ANSI-mode ArithmeticException on any real
+    corpus.  Both factors must keep every intermediate strictly inside
+    a signed 64-bit long, for any practical n_hashes."""
+    from radarpipeline_spark.operators.dedup import mix_constants
+
+    h32_max = (1 << 32) - 1
+    for a, b in mix_constants(64):
+        assert 1 <= a < (1 << 31)
+        assert 0 <= b < (1 << 32)
+        assert a * h32_max + b < (1 << 63) - 1
+    # the formerly-crashing default runs end-to-end (ANSI is Spark 4's
+    # default in this session)
+    sig = minhash_signatures(docs, n_hashes=16).collect()
+    assert len(sig) == 6 * 16
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r2: a component with diameter > max_iter used to return
+    silently-split clusters.  It must raise by default (and warn-and-
+    return when asked)."""
+    from radarpipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+    # warn mode returns partial labels (a refinement, never a merge
+    # of two true components)
+    part = connected_components(chain, max_iter=2, on_nonconverged="warn")
+    assert part.count() == 7
+    # and the same chain converges fine with enough rounds
+    full = connected_components(chain, max_iter=10)
+    assert {r["component"] for r in full.collect()} == {0}
