@@ -1174,18 +1174,26 @@ def q_latency_quartiles(spark, sf_dir):
     percentiles (.25/.5/.75): the interpolation weight d = p*(n-1) is
     then exactly representable, every product is exact, and Spark's
     a+d*(b-a) equals DuckDB quantile_cont's (1-d)*a+d*b bit-for-bit —
-    no formula-dependent ulp drift."""
+    no formula-dependent ulp drift.
+
+    Routed through :func:`group_quantiles`: conversations above the
+    buffer threshold take a spillable rank-based plan instead of the
+    in-memory ``percentile`` buffer (the 10^8-turn-conversation guard;
+    bit-identical outputs, so one oracle covers both routes)."""
+    from radarpipeline_spark.operators.quartiles import group_quantiles
+
     t = lag_lead_features(_transcripts(spark, sf_dir))
     lat_us = F.round(F.col("inter_turn_latency_s") * F.lit(1e6), 0).cast("long")
-    qs = t.select("conv_id", lat_us.alias("lat_us")).groupBy("conv_id").agg(
-        F.expr("percentile(lat_us, 0.25)").alias("p25_us"),
-        F.expr("percentile(lat_us, 0.5)").alias("p50_us"),
-        F.expr("percentile(lat_us, 0.75)").alias("p75_us"),
-        F.count("lat_us").alias("n_lat"),
+    qs = group_quantiles(
+        t.select("conv_id", lat_us.alias("lat_us")),
+        "lat_us",
+        ["conv_id"],
+        probs=(0.25, 0.5, 0.75),
+        out_cols=["p25_us", "p50_us", "p75_us"],
     )
     return qs.select(
         "conv_id",
-        "n_lat",
+        F.col("n").alias("n_lat"),
         (F.col("p25_us") / F.lit(1e6)).alias("lat_p25_s"),
         (F.col("p50_us") / F.lit(1e6)).alias("lat_p50_s"),
         (F.col("p75_us") / F.lit(1e6)).alias("lat_p75_s"),
@@ -1202,6 +1210,23 @@ def q_doc_sample(spark, sf_dir):
         hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 10)
         .select("doc_id", "lang")
     )
+
+
+def q_doc_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sample: per-language keep rates (the
+    curation move: downsample the dominant language, keep all of the
+    rare ones).  Same pure-function membership as q_doc_sample — no
+    shuffle, stable under repartition/retry — with the rate resolved
+    per stratum."""
+    from radarpipeline_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 10, "zh": 50, "fr": 100},
+        default_pct=25,
+    ).select("doc_id", "lang")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1221,6 +1246,7 @@ _BASE_QUERIES7 = queries
 def queries():  # noqa: F811
     q = _BASE_QUERIES7()
     q["doc_sample"] = q_doc_sample
+    q["doc_sample_stratified"] = q_doc_sample_stratified
     q["dedup_clusters"] = q_dedup_clusters
     q["events_rollup"] = q_events_rollup
     q["events_pivot"] = q_events_pivot
@@ -1269,6 +1295,15 @@ FROM walk GROUP BY id
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       % 100 < 10
+"""
+    # stratified twin: same h60 bucket, rate resolved per lang — the
+    # CASE mirrors stratified_hash_sample's sorted when-chain
+    o["doc_sample_stratified"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 WHEN 'fr' THEN 100
+                  ELSE 25 END
 """
     o["events_rollup"] = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -76,7 +76,7 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     # first query vs 0.6s warm — the whole r2 "regression" was this
     # accounting artifact).  One cheap job absorbs it; every query is
     # then measured with a warm JVM but cold (unmaterialized) plans.
-    m.load_table(spark, SF_DIR, "transcripts").count()
+    m.load_table(spark, SF_DIR, "events").count()
 
     out: dict[str, float] = {}
     for name, fn in m.queries().items():
@@ -113,11 +113,28 @@ def _steal_jiffies() -> tuple[int, int]:
 def _timed_min(cores: int, path: str, builder, reps: int = 3, **kw) -> float:
     """min-of-reps wall time with one discarded JIT-warmup rep; fixed
     64 shuffle partitions at every core count so both levels run the
-    identical physical plan (pure parallelism comparison)."""
+    identical physical plan (pure parallelism comparison).
+
+    clearCache() before every rep: a job with an internal persist()
+    would otherwise hand reps 2+ a cross-rep cache hit — Spark's
+    CacheManager matches the NEXT rep's identical canonicalized plan
+    against the materialized cache, silently skipping the whole
+    upstream computation.  This inflated the round-2 scaling record
+    ~4.7x (4.8s "hot" vs 22.6s honest cold at local[8]); every rep
+    must pay full cold cost for the number to mean anything.
+
+    AQE partition coalescing is pinned OFF here (only here — queries
+    keep production settings): it resizes post-shuffle partitions by
+    shuffle BYTES, which under-provisions CPU-heavy window stages and
+    makes the partition count data/core dependent — the two levels
+    would no longer run the same plan (measured ~20% on the window
+    job, and it defeats the fixed-64 methodology)."""
     s = _session(cores, shuffle_partitions=64)
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     s.sparkContext.setLogLevel("ERROR")
     times = []
     for _ in range(reps + 1):
+        s.catalog.clearCache()
         df = builder(s.read.parquet(path), **kw)
         times.append(_materialize(df))
     s.stop()

@@ -25,6 +25,7 @@ def feature_vector(
     last_k: int = 10,
     range_seconds: int = 300,
     rolling_strategy: str = "prefix",
+    deterministic: bool = True,
 ) -> DataFrame:
     """Full per-turn feature vector at each (conv_id, turn_idx, ts).
 
@@ -38,12 +39,16 @@ def feature_vector(
     independent cost — measured 2x faster than ``"sliding"`` at ~30
     turns/frame and the gap widens with denser frames.  Outputs are
     bit-identical either way (pinned in tests).
+
+    ``deterministic=False`` swaps the exact integer-µs latency stats
+    for plain double sums — the production fast path when parity is
+    judged allclose rather than by value hash (see rolling_features).
     """
     df = sessionize(transcripts, gap_seconds=gap_seconds)
     df = lag_lead_features(df)
     df = rolling_features(
         df, last_k=last_k, range_seconds=range_seconds,
-        strategy=rolling_strategy,
+        strategy=rolling_strategy, deterministic=deterministic,
     )
     if aux is not None:
         df = asof_join(df, aux)

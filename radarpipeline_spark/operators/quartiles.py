@@ -1,0 +1,134 @@
+"""Exact per-group quantiles that survive pathological group sizes.
+
+Spark's exact ``percentile`` aggregate buffers EVERY value of a group
+in one in-memory aggregation buffer (OpenHashMap of counts) — fine at
+normal per-conversation turn counts, an executor OOM at the 10^8-turn
+conversation design point (the same skew pathology the chunked window
+path guards against; reference's per-user pandas passes have the same
+failure shape, reference: radarpipeline/features/feature_group.py:59).
+
+:func:`group_quantiles` therefore routes by group size, mirroring the
+skew-routing pattern in operators/skew.py:
+
+* groups with ``n <= buffer_threshold`` rows run the plain
+  ``percentile`` aggregate — one hash agg, no sort, buffer bounded by
+  the threshold;
+* larger groups run a RANK-based plan: ``row_number`` over a sorted
+  window (Spark's window sort spills via UnsafeExternalSorter, and the
+  partition buffer is a spillable ExternalAppendOnlyUnsafeRowArray —
+  bounded memory at ANY group size), keep only the two order
+  statistics each quantile interpolates between, and finish with a
+  tiny per-group agg.
+
+Both paths evaluate the identical interpolation expression
+``lo + (d - floor(d)) * (hi - lo)`` with ``d = p*(n-1)`` on the same
+values, so outputs are bit-identical — pinned by tests — and the
+DuckDB oracle (quantile_cont) needs no per-path variants.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _interp(p: float, n, lo_val, hi_val):
+    """lo + (d - floor(d)) * (hi - lo) with d = p*(n-1), as doubles —
+    the same expression Spark's Percentile.getPercentile evaluates, so
+    both routes (and the sliding/chunked twins) agree bit-for-bit."""
+    d = F.lit(p) * (n.cast("double") - F.lit(1.0))
+    frac = d - F.floor(d)
+    return lo_val.cast("double") + frac * (
+        hi_val.cast("double") - lo_val.cast("double")
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    out_cols: Sequence[str] | None = None,
+    buffer_threshold: int = 1 << 16,
+) -> DataFrame:
+    """Exact interpolated per-group quantiles of ``value_col``.
+
+    Returns one row per group: ``group_cols + [n] + out_cols`` (default
+    ``q_25 .. q_75``).  NULL values are excluded (both engines agree on
+    that); a group with zero non-NULL values is dropped, matching the
+    ``percentile`` aggregate.
+
+    ``buffer_threshold`` is the routing cut: the largest group size the
+    in-memory ``percentile`` buffer is allowed to hold.  The default
+    (65536 values = ~0.5 MB of longs per group buffer) keeps even a
+    whole-executor worst case (thousands of concurrent group buffers)
+    in normal heap territory; anything bigger takes the spillable
+    rank path.
+    """
+    gcols = list(group_cols)
+    out_cols = list(
+        out_cols
+        if out_cols is not None
+        else [f"q_{str(p).replace('0.', '')}" for p in probs]
+    )
+    v = F.col(value_col)
+
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*gcols)
+        .agg(F.count(value_col).alias("n"))
+    )
+    # Routing join: groupBy(group) and the window both hash-shuffle on
+    # the SAME keys, so the join is co-partitioned — no extra exchange
+    # beyond the one the aggregation itself needs.
+    routed = df.join(counts, on=gcols)
+
+    small = routed.filter(F.col("n") <= buffer_threshold)
+    small_q = small.groupBy(*gcols, "n").agg(
+        *[
+            F.expr(f"percentile({value_col}, {p!r})").alias(c)
+            for p, c in zip(probs, out_cols)
+        ]
+    )
+
+    big = routed.filter(F.col("n") > buffer_threshold)
+    ws = Window.partitionBy(*gcols).orderBy(value_col)
+    ranked = big.filter(v.isNotNull()).select(
+        *gcols, "n", v.alias("__v"), F.row_number().over(ws).alias("__r")
+    )
+    # keep only the <= 2*len(probs) order statistics per group that the
+    # interpolation touches: rank floor(d)+1 and ceil(d)+1 per p
+    keep = F.lit(False)
+    for p in probs:
+        d = F.lit(p) * (F.col("n").cast("double") - F.lit(1.0))
+        keep = (
+            keep
+            | (F.col("__r") == F.floor(d).cast("long") + 1)
+            | (F.col("__r") == F.ceil(d).cast("long") + 1)
+        )
+    stats = ranked.filter(keep)
+    agg_exprs = []
+    for p, c in zip(probs, out_cols):
+        d = F.lit(p) * (F.col("n").cast("double") - F.lit(1.0))
+        lo = F.max(
+            F.when(F.col("__r") == F.floor(d).cast("long") + 1, F.col("__v"))
+        )
+        hi = F.max(
+            F.when(F.col("__r") == F.ceil(d).cast("long") + 1, F.col("__v"))
+        )
+        agg_exprs.append((p, c, lo, hi))
+    big_q = stats.groupBy(*gcols, "n").agg(
+        *[lo.alias(f"__lo_{c}") for _, c, lo, _ in agg_exprs],
+        *[hi.alias(f"__hi_{c}") for _, c, _, hi in agg_exprs],
+    )
+    big_q = big_q.select(
+        *gcols,
+        "n",
+        *[
+            _interp(p, F.col("n"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}")).alias(c)
+            for p, c, _, _ in agg_exprs
+        ],
+    )
+    return small_q.unionByName(big_q)

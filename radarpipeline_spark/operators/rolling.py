@@ -109,6 +109,7 @@ def rolling_features(
     tool_col: str = "tool",
     latency_col: str = "inter_turn_latency_s",
     strategy: str = "sliding",
+    deterministic: bool = True,
 ) -> DataFrame:
     """Add rolling features; requires ``latency_col`` (see lag_lead).
 
@@ -125,11 +126,21 @@ def rolling_features(
     (cost independent of frame size — the dense-frame scale path; see
     :func:`rolling_features_prefix`).  Bit-identical outputs — pinned
     by tests.
+
+    ``deterministic``: True (default, what bench.py and the oracle
+    grade) computes mean/std via exact integer-microsecond sums —
+    order-independent, bit-reproducible across engines/retries, at a
+    measured ~28% premium on the windowed pass (the r2 "exactness
+    tax").  False is the production fast path: plain double
+    ``avg``/``stddev_samp`` (sliding) or double running sums (prefix),
+    accurate to normal float tolerance but dependent on summation
+    order — fine when parity is judged by allclose, not hashes.
+    A/B numbers in BASELINE.md.
     """
     if strategy == "prefix":
         return rolling_features_prefix(
             df, last_k, range_seconds, entity_col, order_col, ts_col,
-            tool_col, latency_col,
+            tool_col, latency_col, deterministic=deterministic,
         )
     row_frame = (
         Window.partitionBy(entity_col)
@@ -143,10 +154,16 @@ def rolling_features(
     )
     is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
     k, d = last_k, range_seconds
-    prep_cols, mean_s, std_s = deterministic_lat_stats(latency_col, time_frame)
     lat = F.col(latency_col)
     out_cols = df.columns
-    df = df.select(*df.columns, *prep_cols)  # limbs: once per row
+    if deterministic:
+        prep_cols, mean_s, std_s = deterministic_lat_stats(
+            latency_col, time_frame
+        )
+        df = df.select(*df.columns, *prep_cols)  # limbs: once per row
+    else:
+        mean_s = F.avg(lat).over(time_frame)
+        std_s = F.stddev_samp(lat).over(time_frame)
     # ONE select: expressions sharing a window spec land in the same
     # physical Window node (interleaved withColumn Projects would block
     # Spark's CollapseWindow rule and cost one Sort per feature).
@@ -170,33 +187,26 @@ def rolling_features_prefix(
     ts_col: str = "ts",
     tool_col: str = "tool",
     latency_col: str = "inter_turn_latency_s",
+    deterministic: bool = True,
 ) -> DataFrame:
-    """Range-frame sums via PREFIX totals + a self-as-of diff.
+    """Range-frame sums via growing-prefix totals, differenced per row.
 
     Sliding frames make Spark replay every frame row per output row
     (O(rows x frame) aggregate updates) — ruinous when many turns fall
-    inside the Δ-second window.  Sums are subtractable, so running
-    totals are computed once (incremental range-unbounded frame) and
-    diffed against the total just before each row's frame start via a
-    self-as-of LOCF pass (see :func:`prefix_lat_stats`).  The shared
-    :func:`finish_lat_stats` turns the exact integers into the same
-    bit-identical floats as the sliding strategy.
-
-    Measured 2x faster than sliding at ~30 turns/frame (12.1s -> 6.1s
-    on 10.5M turns at 8 cores, internally controlled) — a
-    growing-frame-diff variant WITHOUT the union (cum[..now] minus
-    cum[..now-Δ-1] as two unbounded-lower window frames) was also
-    tried and measured no better than sliding: Spark's per-function
-    frame machinery costs ~the same per row as the replay at this
-    frame size, while the union's single LOCF pass amortizes all five
-    diffs into one carry.
+    inside the Δ-second window.  Sums are subtractable, so each exact
+    aggregate is evaluated as ``cum[..now] - cum[..now-Δ-1]`` over two
+    unbounded-preceding range frames that only ever grow — Spark
+    updates growing frames incrementally, so each row enters each
+    aggregate exactly once (O(n), frame-size-independent; see
+    :func:`prefix_lat_stats` for the designs this replaced and why).
+    The shared :func:`finish_lat_stats` turns the exact integers into
+    the same bit-identical floats as the sliding strategy.
 
     min/max are not subtractable and stay sliding; the row-frame pair
     (turns/tool-rate, last-k rows) is cheap and stays sliding too.
-    No persist: probe+anchor twins fan out of the single totals pass
-    via one inline explode (a prior two-consumer union needed a persist
-    that leaked cached blocks for the session lifetime); no extra
-    shuffle — every pass partitions on ``entity_col``.
+    No persist, no extra rows, no extra shuffle — every pass
+    partitions on ``entity_col`` and the Δ-frames share the sliding
+    min/max pass's sort order.
     """
     row_frame = (
         Window.partitionBy(entity_col)
@@ -223,6 +233,7 @@ def rolling_features_prefix(
     out = prefix_lat_stats(
         pass1, [entity_col], ts_col, latency_col, range_seconds,
         f"latency_mean_{d}s", f"latency_std_{d}s",
+        deterministic=deterministic,
     )
     return out.select(
         *out_cols,
@@ -243,82 +254,70 @@ def prefix_lat_stats(
     range_seconds: int,
     out_mean: str,
     out_std: str,
+    deterministic: bool = True,
 ) -> DataFrame:
-    """Add ``out_mean``/``out_std`` (the exact deterministic latency
-    stats over the trailing Δ-second range frame) to ``df`` via the
-    prefix-total + self-as-of technique, partitioned by
-    ``partition_cols`` — reusable by the chunked/skew path, which
-    partitions on (entity, chunk).  See rolling_features_prefix."""
-    lat_us = F.round(F.col(latency_col) * F.lit(1e6), 0).cast("long")
-    a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
-    b = lat_us - a * F.lit(1 << 21)
-    cum_frame = (
-        Window.partitionBy(*partition_cols)
-        .orderBy(ts_us(ts_col))
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    """Add ``out_mean``/``out_std`` (latency stats over the trailing
+    Δ-second range frame) to ``df`` via the prefix-total + self-as-of
+    technique, partitioned by ``partition_cols`` — reusable by the
+    chunked/skew path, which partitions on (entity, chunk).  See
+    rolling_features_prefix.
+
+    ``deterministic=False`` keeps the same one-pass plan shape but
+    runs DOUBLE running sums of lat and lat² instead of the exact
+    integer limbs — cheaper per row, float-tolerance accuracy (the
+    prefix diff can lose precision when a frame's sum is tiny relative
+    to its prefix totals — the usual running-sum cancellation; at
+    realistic latency magnitudes the error stays ~1e-9 relative).
+
+    Implementation: each exact aggregate is evaluated over TWO
+    unbounded-preceding range frames in one Window node —
+    ``cum[..now] - cum[..now-Δ-1]`` — and differenced per row.  Both
+    frames only ever GROW, so Spark's window machinery updates them
+    incrementally (each row enters each aggregate exactly once: O(n),
+    frame-size-independent).  This replaced two earlier fan-out
+    designs, each measured slower on the 10.5M-turn scaling input at
+    local[8]: a probe/anchor union through a LOCF pass needed a
+    persist of the totals (leaked cache blocks, +40% wall), and an
+    inline-explode variant (2n wide rows through three chained
+    in-stage sorts) hit sort-spill memory pressure at default heap
+    (3x wall at bench heap, executor OOM at 1g).  The two-frame diff
+    adds zero rows, zero extra sorts, and shares its sort order with
+    the sliding min/max pass."""
+    w = Window.partitionBy(*partition_cols).orderBy(ts_us(ts_col))
+    cur = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    bef = w.rangeBetween(
+        Window.unboundedPreceding, -range_seconds * MICROS - 1
     )
     in_cols = df.columns
-    # incremental frames add each row exactly once, so the limb
-    # expressions can live inline (no per-frame re-evaluation)
-    totals = df.select(
-        *in_cols,
-        F.count(lat_us).over(cum_frame).alias("__tn"),
-        F.sum(lat_us).over(cum_frame).alias("__ts"),
-        F.sum(a * a).over(cum_frame).alias("__t2"),
-        F.sum(F.lit(2) * a * b).over(cum_frame).alias("__t1"),
-        F.sum(b * b).over(cum_frame).alias("__t0"),
-        ts_us(ts_col).alias("__us"),
-    )
 
-    # Each totals row fans out into its ANCHOR twin (tag 0, carries the
-    # running totals at position ts) and its PROBE twin (tag 1, at
-    # position ts - Δ - 1, totals NULL) via ONE inline explode — a
-    # single derivation of the window pass, so no persist is needed
-    # (the previous union of two totals consumers persisted the window
-    # output and leaked the cached blocks for the session lifetime).
-    cum_t = "struct<n:bigint,s:bigint,c2:bigint,c1:bigint,c0:bigint>"
-    cum_struct = F.struct(
-        F.col("__tn").alias("n"),
-        F.col("__ts").alias("s"),
-        F.col("__t2").alias("c2"),
-        F.col("__t1").alias("c1"),
-        F.col("__t0").alias("c0"),
-    )
-    u = totals.select(
-        "*",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("__us").alias("__pos"),
-                    F.lit(0).alias("__tag"),
-                    cum_struct.cast(cum_t).alias("__cum"),
-                ),
-                F.struct(
-                    (F.col("__us") - F.lit(range_seconds * MICROS + 1)).alias(
-                        "__pos"
-                    ),
-                    F.lit(1).alias("__tag"),
-                    F.lit(None).cast(cum_t).alias("__cum"),
-                ),
-            )
-        ).alias("__e"),
-    ).select("*", "__e.*").drop("__e")
-    locf = (
-        Window.partitionBy(*partition_cols)
-        .orderBy("__pos", "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*", F.last("__cum", ignorenulls=True).over(locf).alias("__bef")
-    ).filter(F.col("__tag") == 1)
+    def diff(col_expr):
+        return F.sum(col_expr).over(cur) - F.coalesce(
+            F.sum(col_expr).over(bef), F.lit(0)
+        )
 
-    bef = lambda f: F.coalesce(F.col("__bef").getField(f), F.lit(0))  # noqa: E731
-    n_lat = F.col("__tn") - bef("n")
-    sum_us = F.when(n_lat > 0, F.coalesce(F.col("__ts"), F.lit(0)) - bef("s"))
-    s_c2 = F.when(n_lat > 0, F.coalesce(F.col("__t2"), F.lit(0)) - bef("c2"))
-    s_c1 = F.when(n_lat > 0, F.coalesce(F.col("__t1"), F.lit(0)) - bef("c1"))
-    s_c0 = F.when(n_lat > 0, F.coalesce(F.col("__t0"), F.lit(0)) - bef("c0"))
-    mean_s, std_s = finish_lat_stats(n_lat, sum_us, s_c2, s_c1, s_c0)
-    return filled.select(
+    if deterministic:
+        lat_us = F.round(F.col(latency_col) * F.lit(1e6), 0).cast("long")
+        a = F.floor(lat_us / F.lit(float(1 << 21))).cast("long")
+        b = lat_us - a * F.lit(1 << 21)
+        n_lat = F.count(lat_us).over(cur) - F.count(lat_us).over(bef)
+        mean_s, std_s = finish_lat_stats(
+            n_lat,
+            F.when(n_lat > 0, diff(lat_us)),
+            F.when(n_lat > 0, diff(a * a)),
+            F.when(n_lat > 0, diff(F.lit(2) * a * b)),
+            F.when(n_lat > 0, diff(b * b)),
+        )
+    else:
+        lat = F.col(latency_col).cast("double")
+        n_lat = F.count(lat).over(cur) - F.count(lat).over(bef)
+        nd = n_lat.cast("double")
+        sum_lat = F.when(n_lat > 0, diff(lat))
+        sum_sq = F.when(n_lat > 0, diff(lat * lat))
+        mean_s = F.when(n_lat > 0, sum_lat / nd)
+        var = (nd * sum_sq - sum_lat * sum_lat) / (nd * (nd - F.lit(1.0)))
+        # running-sum cancellation can drive a ~0 variance a hair
+        # negative — clamp before sqrt
+        std_s = F.when(n_lat >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    return df.select(
         *in_cols, mean_s.alias(out_mean), std_s.alias(out_std)
     )

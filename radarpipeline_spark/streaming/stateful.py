@@ -8,11 +8,14 @@ incrementally — the streaming twin of ``operators.sessionize`` — using
 rows are processed as one Arrow-backed pandas frame (vectorized, no
 per-row Python beyond the group loop Spark itself drives).
 
-Ordering contract: rows may arrive unordered WITHIN a micro-batch
-(sorted here by turn_idx) but batches must be non-overlapping and
-in-order per conversation (log-ordered ingestion, the usual Kafka
-keyed-partition guarantee).  Out-of-order ACROSS batches would need
-watermarked buffering — that's what the session_window variant is for.
+Ordering contract: the base operators accept rows unordered WITHIN a
+micro-batch (sorted here by turn_idx) but need batches non-overlapping
+and in-order per conversation (log-ordered ingestion, the usual Kafka
+keyed-partition guarantee).  The ``*_unordered`` variants drop that
+contract: a per-conversation reorder buffer in state parks rows until
+the event-time watermark passes them, then replays them in event order
+— out-of-order across batches up to the watermark delay is fine, and
+rows later than the watermark are dropped (append-mode semantics).
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -51,6 +55,24 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _sessionize_pdf(pdf, gap_us, last_ts_us, last_session):
+    """Assign incremental session ids to ONE sorted-by-turn frame given
+    the carried (last_ts_us, last_session); returns (out, carry')."""
+    pdf = pdf.sort_values("turn_idx", ignore_index=True)
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    prev = us.shift(1)
+    if last_ts_us is not None:
+        prev.iloc[0] = last_ts_us
+    new_flag = prev.isna() | ((us - prev) > gap_us)
+    base = -1 if last_session is None else last_session
+    pdf["session_id"] = (base + new_flag.cumsum()).astype("int32")
+    return (
+        pdf[["conv_id", "turn_idx", "ts", "session_id"]],
+        int(us.iloc[-1]),
+        int(pdf["session_id"].iloc[-1]),
+    )
+
+
 def _assign(
     key: Tuple[str],
     pdfs: Iterator[pd.DataFrame],
@@ -59,17 +81,10 @@ def _assign(
 ) -> Iterator[pd.DataFrame]:
     last_ts_us, last_session = state.get if state.exists else (None, None)
     for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx", ignore_index=True)
-        us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        prev = us.shift(1)
-        if last_ts_us is not None:
-            prev.iloc[0] = last_ts_us
-        new_flag = prev.isna() | ((us - prev) > gap_us)
-        base = -1 if last_session is None else last_session
-        pdf["session_id"] = (base + new_flag.cumsum()).astype("int32")
-        last_ts_us = int(us.iloc[-1])
-        last_session = int(pdf["session_id"].iloc[-1])
-        yield pdf[["conv_id", "turn_idx", "ts", "session_id"]]
+        out, last_ts_us, last_session = _sessionize_pdf(
+            pdf, gap_us, last_ts_us, last_session
+        )
+        yield out
     state.update((last_ts_us, last_session))
 
 
@@ -96,6 +111,111 @@ def stream_sessionize(
     )
 
 
+WM_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("buf_turn", ArrayType(IntegerType()), True),
+        StructField("buf_us", ArrayType(LongType()), True),
+        StructField("last_ts_us", LongType(), True),
+        StructField("last_session", IntegerType(), True),
+    ]
+)
+
+
+def _assign_watermarked(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    """Reorder-buffer sessionizer: rows park in state until the event-
+    time watermark passes them, then emit in event order — so arrival
+    order across micro-batches no longer matters.  Rows older than the
+    watermark on ARRIVAL are dropped (append-mode watermark contract:
+    emitting them after the frontier passed would rewrite history).
+
+    State size is bounded by the watermark delay x event rate per
+    conversation (the rows inside the lateness horizon), not by the
+    conversation length."""
+    if state.exists:
+        buf_turn, buf_us, last_ts_us, last_session = state.get
+        buf = list(zip(buf_turn or [], buf_us or []))
+    else:
+        buf, last_ts_us, last_session = [], None, None
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    for pdf in pdfs:
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, u in zip(pdf["turn_idx"], us):
+            # wm==0 -> no watermark has been established yet: buffer
+            if wm_us == 0 or u > wm_us:
+                buf.append((int(t), int(u)))
+    final = sorted((u, t) for t, u in buf if wm_us > 0 and u <= wm_us)
+    keep = [(t, u) for t, u in buf if not (wm_us > 0 and u <= wm_us)]
+    outs = []
+    if final:
+        pdf = pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "turn_idx": pd.array([t for _, t in final], dtype="int32"),
+                "ts": pd.to_datetime([u for u, _ in final], unit="us"),
+            }
+        )
+        out, last_ts_us, last_session = _sessionize_pdf(
+            pdf, gap_us, last_ts_us, last_session
+        )
+        outs.append(out)
+    state.update(
+        (
+            [t for t, _ in keep],
+            [u for _, u in keep],
+            last_ts_us,
+            last_session,
+        )
+    )
+    # EventTimeTimeout re-invokes this group (with no new rows) once
+    # the watermark passes the earliest buffered event — without it, a
+    # group that stops receiving data would never flush its buffer
+    if keep:
+        state.setTimeoutTimestamp(min(u for _, u in keep) // 1000 + 1)
+    return iter(outs)
+
+
+def stream_sessionize_unordered(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """:func:`stream_sessionize` without the in-order-batches contract:
+    rows may arrive out of order ACROSS micro-batches up to the
+    ``watermark`` delay (the production Kafka reality — repartitioned
+    topics, producer retries).  A per-conversation reorder buffer in
+    state holds rows until the event-time watermark passes them; output
+    rows then match the batch sessionizer exactly.  Rows later than the
+    watermark are dropped, as in ``session_window`` append mode."""
+    gap_us = gap_seconds * MICROS
+
+    def fn(key, pdfs, state):
+        return _assign_watermarked(key, pdfs, state, gap_us)
+
+    import pyspark.sql.functions as F
+
+    return (
+        # watermarks require TIMESTAMP (not NTZ); the engine pins the
+        # session timezone to UTC, so the cast is an exact relabel
+        stream.select(
+            "conv_id", "turn_idx", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=WM_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 ASOF_OUTPUT_SCHEMA = StructType(
     [
         StructField("conv_id", StringType(), False),
@@ -118,6 +238,45 @@ ASOF_STATE_SCHEMA = StructType(
 )
 
 
+def _carry_asof_pdf(pdf, has_aux, last_us, last_val):
+    """Backfill ONE frame (both sides, any order) given the carried
+    last-aux state; returns (turn rows with asof value, carry')."""
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    # aux rows sort BEFORE turn rows at equal ts (side 0 < 1) —
+    # the batch union trick's tie rule
+    pdf = (
+        pdf.assign(__us=us)
+        .sort_values(["__us", "side"], ignore_index=True)
+    )
+    is_aux = pdf["side"].to_numpy() == 0
+    # positional last-aux carry, atomic w.r.t. NULL values: track
+    # the INDEX of the last aux row, not its (possibly-NaN) value
+    idx = pd.Series(pd.array(range(len(pdf)), dtype="Int64"))
+    last_aux_idx = idx.where(is_aux).ffill()
+    carried = pd.Series([None] * len(pdf), dtype="float64")
+    mask = last_aux_idx.notna()
+    carried[mask.to_numpy()] = (
+        pdf["aux_value"].to_numpy()[
+            last_aux_idx[mask].astype(int).to_numpy()
+        ]
+    )
+    if has_aux:
+        pre = last_aux_idx.isna()
+        carried[pre.to_numpy()] = last_val
+    turns = pdf.loc[~is_aux].copy()
+    turns["asof_aux_value"] = carried[~is_aux]
+    if is_aux.any():
+        last_aux = pdf.loc[is_aux].iloc[-1]
+        has_aux = 1
+        last_us = int(last_aux["__us"])
+        v = last_aux["aux_value"]
+        last_val = None if pd.isna(v) else float(v)
+    out = turns[["conv_id", "turn_idx", "ts", "asof_aux_value"]].astype(
+        {"turn_idx": "int32"}
+    )
+    return out, has_aux, last_us, last_val
+
+
 def _carry_asof(
     key: Tuple[str],
     pdfs: Iterator[pd.DataFrame],
@@ -127,39 +286,10 @@ def _carry_asof(
         state.get if state.exists else (0, None, None)
     )
     for pdf in pdfs:
-        us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        # aux rows sort BEFORE turn rows at equal ts (side 0 < 1) —
-        # the batch union trick's tie rule
-        pdf = (
-            pdf.assign(__us=us)
-            .sort_values(["__us", "side"], ignore_index=True)
+        out, has_aux, last_us, last_val = _carry_asof_pdf(
+            pdf, has_aux, last_us, last_val
         )
-        is_aux = pdf["side"].to_numpy() == 0
-        # positional last-aux carry, atomic w.r.t. NULL values: track
-        # the INDEX of the last aux row, not its (possibly-NaN) value
-        idx = pd.Series(pd.array(range(len(pdf)), dtype="Int64"))
-        last_aux_idx = idx.where(is_aux).ffill()
-        carried = pd.Series([None] * len(pdf), dtype="float64")
-        mask = last_aux_idx.notna()
-        carried[mask.to_numpy()] = (
-            pdf["aux_value"].to_numpy()[
-                last_aux_idx[mask].astype(int).to_numpy()
-            ]
-        )
-        if has_aux:
-            pre = last_aux_idx.isna()
-            carried[pre.to_numpy()] = last_val
-        turns = pdf.loc[~is_aux].copy()
-        turns["asof_aux_value"] = carried[~is_aux]
-        if is_aux.any():
-            last_aux = pdf.loc[is_aux].iloc[-1]
-            has_aux = 1
-            last_us = int(last_aux["__us"])
-            v = last_aux["aux_value"]
-            last_val = None if pd.isna(v) else float(v)
-        yield turns[["conv_id", "turn_idx", "ts", "asof_aux_value"]].astype(
-            {"turn_idx": "int32"}
-        )
+        yield out
     state.update((has_aux, last_us, last_val))
 
 
@@ -186,5 +316,116 @@ def stream_asof_backfill(union_stream: DataFrame) -> DataFrame:
             stateStructType=ASOF_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+WM_ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("buf_turn", ArrayType(IntegerType()), True),
+        StructField("buf_us", ArrayType(LongType()), True),
+        StructField("buf_side", ArrayType(IntegerType()), True),
+        # NULL aux values ride as NaN (pdf round-trip restores NaN ->
+        # NULL semantics inside _carry_asof_pdf's pd.isna checks)
+        StructField("buf_aux", ArrayType(DoubleType(), True), True),
+        StructField("has_aux", IntegerType(), True),
+        StructField("last_aux_us", LongType(), True),
+        StructField("last_aux_value", DoubleType(), True),
+    ]
+)
+
+
+def _carry_asof_watermarked(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Reorder-buffered as-of carry: BOTH sides (turns and aux) park in
+    state until the watermark passes them, then replay through the
+    ordered carry in event order — see :func:`_assign_watermarked` for
+    the emission/late-drop rules."""
+    if state.exists:
+        bt, bu, bs, ba, has_aux, last_us, last_val = state.get
+        buf = [
+            (int(u), int(s), int(t), None if a is None or a != a else float(a))
+            for t, u, s, a in zip(bt or [], bu or [], bs or [], ba or [])
+        ]
+    else:
+        buf, has_aux, last_us, last_val = [], 0, None, None
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    for pdf in pdfs:
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, u, s, a in zip(
+            pdf["turn_idx"], us, pdf["side"], pdf["aux_value"]
+        ):
+            if wm_us == 0 or u > wm_us:
+                buf.append(
+                    (int(u), int(s), int(t), None if pd.isna(a) else float(a))
+                )
+    final = sorted(
+        (r for r in buf if wm_us > 0 and r[0] <= wm_us),
+        key=lambda r: (r[0], r[1], r[2]),  # aux values may be None
+    )
+    keep = [r for r in buf if not (wm_us > 0 and r[0] <= wm_us)]
+    outs = []
+    if final:
+        pdf = pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "turn_idx": pd.array([t for _, _, t, _ in final], dtype="int32"),
+                "ts": pd.to_datetime([u for u, _, _, _ in final], unit="us"),
+                "side": pd.array([s for _, s, _, _ in final], dtype="int32"),
+                "aux_value": pd.array(
+                    [a for _, _, _, a in final], dtype="float64"
+                ),
+            }
+        )
+        out, has_aux, last_us, last_val = _carry_asof_pdf(
+            pdf, has_aux, last_us, last_val
+        )
+        outs.append(out)
+    state.update(
+        (
+            [t for _, _, t, _ in keep],
+            [u for u, _, _, _ in keep],
+            [s for _, s, _, _ in keep],
+            [a for _, _, _, a in keep],
+            has_aux,
+            last_us,
+            last_val,
+        )
+    )
+    # flush guarantee — see _assign_watermarked
+    if keep:
+        state.setTimeoutTimestamp(min(u for u, _, _, _ in keep) // 1000 + 1)
+    return iter(outs)
+
+
+def stream_asof_backfill_unordered(
+    union_stream: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """:func:`stream_asof_backfill` without the in-order-batches
+    contract: both sides may arrive out of order across micro-batches
+    up to ``watermark``; a per-conversation reorder buffer replays them
+    in event order once the watermark passes.  Late rows drop."""
+    import pyspark.sql.functions as F
+
+    return (
+        union_stream.select(
+            "conv_id",
+            "turn_idx",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "side",
+            "aux_value",
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _carry_asof_watermarked,
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=WM_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

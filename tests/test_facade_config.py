@@ -272,3 +272,83 @@ def test_plugin_discovery_survives_basename_collision(tmp_path):
     import sys
 
     assert sys.modules["json"] is _json
+
+
+class _FakeSftpClient:
+    """In-process stand-in implementing the paramiko SFTPClient subset
+    fetch_sftp_dataset uses (listdir_attr/get/close) over a local
+    directory — the reference tests the same surface with an
+    in-process sftpserver (reference:
+    tests/tests_io/test_connection.py:1-30; that package and paramiko
+    are not in this sandbox, so the transport handshake stays gated
+    and only the seam below it is exercised)."""
+
+    opened = 0
+
+    def __init__(self, root):
+        self.root = root
+        type(self).opened += 1
+        self.closed = False
+
+    def listdir_attr(self, path):
+        import os as _os
+
+        class A:
+            pass
+
+        out = []
+        for name in sorted(_os.listdir(path)):
+            a = A()
+            a.filename = name
+            a.st_mode = _os.stat(_os.path.join(path, name)).st_mode
+            out.append(a)
+        return out
+
+    def get(self, rpath, lpath):
+        import shutil
+
+        shutil.copyfile(rpath, lpath)
+
+    def close(self):
+        self.closed = True
+
+
+def test_sftp_mirror_with_fake_client(tmp_path):
+    """S5 parity: full-tree staging, user/variable pruning, and the
+    one-client-per-pool-worker contract — everything below the
+    paramiko transport."""
+    from radarpipeline_spark.sources.remote import fetch_sftp_dataset
+
+    remote = tmp_path / "remote"
+    for uid in ("u1", "u2"):
+        for var in ("steps", "battery"):
+            d = remote / uid / var
+            d.mkdir(parents=True)
+            (d / "0000.csv.gz").write_bytes(b"x" * 10)
+            (d / "0001.csv.gz").write_bytes(b"y" * 10)
+    (remote / "u1" / "steps" / "schema.json").write_text("{}")
+
+    _FakeSftpClient.opened = 0
+    local = tmp_path / "local_all"
+    fetch_sftp_dataset(
+        "ignored", str(remote), str(local),
+        client_factory=lambda: _FakeSftpClient(str(tmp_path)),
+        num_workers=3,
+    )
+    got = sorted(p.relative_to(local).as_posix() for p in local.rglob("*") if p.is_file())
+    assert len(got) == 9 and "u2/battery/0001.csv.gz" in got
+    assert (local / "u1/steps/schema.json").read_text() == "{}"
+    # lister + at most num_workers transfer clients
+    assert 2 <= _FakeSftpClient.opened <= 4
+
+    # pruned staging: only (u1, steps) crosses the wire
+    local2 = tmp_path / "local_pruned"
+    fetch_sftp_dataset(
+        "ignored", str(remote), str(local2),
+        users=["u1"], variables=["steps"],
+        client_factory=lambda: _FakeSftpClient(str(tmp_path)),
+    )
+    got2 = sorted(p.relative_to(local2).as_posix() for p in local2.rglob("*") if p.is_file())
+    assert got2 == [
+        "u1/steps/0000.csv.gz", "u1/steps/0001.csv.gz", "u1/steps/schema.json",
+    ]

@@ -286,3 +286,47 @@ def test_connected_components_nonconvergence_raises(spark):
     # and the same chain converges fine with enough rounds
     full = connected_components(chain, max_iter=10)
     assert {r["component"] for r in full.collect()} == {0}
+
+
+def test_group_quantiles_routes_big_groups_spillable(spark):
+    """VERDICT r2 #7: Spark's exact `percentile` buffers a whole group
+    in ONE aggregation buffer — an OOM at the 10^8-turn-conversation
+    design point.  group_quantiles must route oversized groups through
+    the rank-based (sort-spillable) plan and stay BIT-identical to the
+    percentile path."""
+    import pyspark.sql.functions as SF
+
+    from radarpipeline_spark.operators.quartiles import group_quantiles
+
+    # one 120k-row conversation + two small ones, values hashed so
+    # order is adversarial, including duplicates and NULLs
+    df = (
+        spark.range(120_000)
+        .select(
+            SF.lit("big").alias("conv_id"),
+            (SF.xxhash64("id") % 100_000).alias("lat_us"),
+        )
+        .unionByName(
+            spark.range(37)
+            .select(
+                SF.concat(SF.lit("small"), (SF.col("id") % 2)).alias("conv_id"),
+                SF.when(SF.col("id") % 7 == 0, None)
+                .otherwise(SF.xxhash64("id", SF.lit(1)) % 1000)
+                .alias("lat_us"),
+            )
+        )
+    )
+    routed = group_quantiles(
+        df, "lat_us", ["conv_id"], buffer_threshold=1000
+    )
+    plain = group_quantiles(
+        df, "lat_us", ["conv_id"], buffer_threshold=1 << 40
+    )
+    key = lambda d: sorted(  # noqa: E731
+        (r["conv_id"], r["n"], repr(r["q_25"]), repr(r["q_5"]), repr(r["q_75"]))
+        for r in d.collect()
+    )
+    assert key(routed) == key(plain)
+    # the big group really took the window path: plan shows row_number
+    p = routed._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in p and "percentile" in p

@@ -204,3 +204,155 @@ def test_stream_asof_matches_batch(spark, tiny, aux, tmp_path):
     nz = {r["turn_idx"]: r["asof_aux_value"]
           for r in streamed.filter(F.col("conv_id") == "conv-nullaux").collect()}
     assert nz[0] is None and nz[1] == 7.0 and nz[5] is None
+
+
+def test_stream_sessionize_unordered_matches_batch(spark, tmp_path):
+    """VERDICT r2 #9: out-of-order arrival ACROSS micro-batches (the
+    production Kafka reality) must still reproduce the batch
+    sessionizer, via the watermarked reorder buffer."""
+    import datetime as dt
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    os.makedirs(src)
+    from radarpipeline_spark.streaming.stateful import (
+        stream_sessionize_unordered,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two conversations; c1 has a session break at turn 3
+    rows = [
+        ("c1", 0, 0), ("c1", 1, 30), ("c1", 2, 60),
+        ("c1", 3, 4000), ("c1", 4, 4030),
+        ("c2", 0, 10), ("c2", 1, 2500),
+    ]
+    mk = lambda cid, i, s: (  # noqa: E731
+        cid, i, "user", f"t{i}", None, t0 + dt.timedelta(seconds=s)
+    )
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp_ntz")
+    all_rows = [mk(*r) for r in rows]
+
+    def drain():
+        q = (
+            stream_sessionize_unordered(
+                spark.readStream.schema(schema).parquet(src),
+                gap_seconds=1800,
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1 delivers LATER turns first (c1: 2,3 before 0,1 arrive)
+    spark.createDataFrame(
+        [all_rows[2], all_rows[3], all_rows[6]], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    # batch 2: the earlier turns — still ahead of the (not yet
+    # advanced past them) watermark, so the buffer reorders them in
+    spark.createDataFrame(
+        [all_rows[0], all_rows[1], all_rows[4], all_rows[5]], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    # batch 3+4: watermark advance + flush (watermark trails one batch)
+    for s in (30000, 60000):
+        spark.createDataFrame(
+            [mk("flush", 0, s)], schema
+        ).write.mode("append").parquet(src)
+        drain()
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in spark.read.parquet(out)
+        .filter(F.col("conv_id") != "flush")
+        .collect()
+    }
+    batch = sessionize(
+        spark.createDataFrame(all_rows, schema), gap_seconds=1800
+    )
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in batch.collect()
+    }
+    assert got == exp and len(got) == 7
+
+
+def test_stream_asof_unordered_matches_batch(spark, tmp_path):
+    """Watermarked as-of twin: aux and turn rows arriving out of order
+    across batches (aux AFTER the turns it backfills) must replay to
+    the batch asof_join result, including atomic NULL-aux carry."""
+    import datetime as dt
+
+    from radarpipeline_spark.operators import asof_join
+    from radarpipeline_spark.streaming.stateful import (
+        stream_asof_backfill_unordered,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src2", "ckpt2", "out2"))
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 6, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    schema = ("conv_id string, turn_idx int, ts timestamp_ntz, "
+              "side int, aux_value double")
+    turn = lambda i, s: ("c", i, sec(s), 1, None)  # noqa: E731
+    aux = lambda s, v: ("c", -1, sec(s), 0, v)  # noqa: E731
+
+    def drain():
+        q = (
+            stream_asof_backfill_unordered(
+                spark.readStream.schema(schema).parquet(src),
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: the TURNS arrive first
+    spark.createDataFrame(
+        [turn(0, 0), turn(1, 60), turn(2, 120), turn(3, 200)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    # batch 2: the aux rows they should have seen (ts 30 and 150 — the
+    # 150 one carries NULL and must override 5.0 for turn 3)
+    spark.createDataFrame(
+        [aux(30, 5.0), aux(150, None)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    for s in (30000, 60000):
+        spark.createDataFrame(
+            [("flush", 0, sec(s), 1, None)], schema
+        ).write.mode("append").parquet(src)
+        drain()
+
+    got = {
+        r["turn_idx"]: r["asof_aux_value"]
+        for r in spark.read.parquet(out)
+        .filter(F.col("conv_id") == "c")
+        .collect()
+    }
+    turns_b = spark.createDataFrame(
+        [("c", i, "u", "x", None, sec(s))
+         for i, s in [(0, 0), (1, 60), (2, 120), (3, 200)]],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    aux_b = spark.createDataFrame(
+        [("c", sec(30), 5.0), ("c", sec(150), None)],
+        "conv_id string, ts timestamp_ntz, aux_value double",
+    )
+    exp = {
+        r["turn_idx"]: r["asof_aux_value"]
+        for r in asof_join(turns_b, aux_b).collect()
+    }
+    assert got == exp and len(got) == 4
+    assert got[0] is None and got[1] == 5.0 and got[3] is None

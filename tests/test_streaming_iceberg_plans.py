@@ -46,12 +46,14 @@ def test_warehouse_roundtrip_and_pruning(spark, tiny, tmp_path):
 
 
 def test_feature_plan_fused_shape(spark, tiny):
-    """Exchange budget is pinned per strategy: sliding = 2 (one
-    shuffle for the conv_id windows, one for the as-of union);
-    prefix = 3 (the prefix-total union loses partitioning info and
-    re-shuffles 2n NARROW rows — the deliberate price for
-    frame-size-independent window cost, measured 2x faster end to
-    end).  A refactor that adds shuffles beyond these fails here."""
+    """Exchange budget is pinned per strategy: BOTH = 2 (one shuffle
+    for the conv_id windows, one for the as-of union side).  The
+    prefix strategy's probe/anchor fan-out is an inline explode —
+    narrow, partitioning-preserving — so its LOCF window reuses the
+    conv_id hash partitioning instead of re-shuffling (the old
+    two-consumer union cost an extra exchange AND re-derived the
+    totals window per branch: 5 base-table scans at r2, 2 now).
+    A refactor that adds shuffles or scans beyond these fails here."""
     from tests.conftest import synthesize_transcripts  # noqa: F401
 
     # cached plans from other tests change how subtrees render
@@ -62,11 +64,8 @@ def test_feature_plan_fused_shape(spark, tiny):
     )
     shape = plan_shape(feature_vector(tiny, aux, rolling_strategy="sliding"))
     assert shape["exchanges"] == 2, shape
-    # textual plan shows the persisted totals subtree under BOTH union
-    # branches, so its one exchange prints twice: 3 real shuffles
-    # (windows, prefix-union LOCF, as-of union) appear as <= 4
     shape_p = plan_shape(feature_vector(tiny, aux))
-    assert shape_p["exchanges"] <= 4, shape_p
+    assert shape_p["exchanges"] == 2, shape_p
 
 
 def test_feature_plan_builder_equals_operators(spark, tiny):
