@@ -141,14 +141,18 @@ def _timed_min(cores: int, path: str, builder, reps: int = 3, **kw) -> float:
     return min(times[1:])
 
 
-def _gen(path: str, n_convs: int, skew_convs: int, skew_len: int) -> int:
+def _gen(
+    path: str, n_convs: int, skew_convs: int, skew_len: int,
+    dense_skew: bool = False,
+) -> int:
     s = _session(32)
     s.sparkContext.setLogLevel("ERROR")
     from radarpipeline_spark.sources import synthesize_transcripts
 
     if not os.path.exists(path):
         synthesize_transcripts(
-            s, n_convs=n_convs, seed=42, skew_convs=skew_convs, skew_len=skew_len
+            s, n_convs=n_convs, seed=42, skew_convs=skew_convs,
+            skew_len=skew_len, dense_skew=dense_skew,
         ).repartition(128).write.mode("overwrite").parquet(path)
     n = s.read.parquet(path).count()
     s.stop()
@@ -236,12 +240,39 @@ def bench_skew() -> dict:
         f"  skew: sliding-plain {plain_sliding:.2f}s vs prefix-plain "
         f"{plain_prefix:.2f}s vs routed {routed:.2f}s"
     )
+
+    # DENSE-frame variant: the default gap model averages ~300s, so a
+    # trailing 300s frame holds ~1 row and sliding replay is
+    # accidentally cheap — the moderate numbers above mostly measure
+    # single-task serialization.  With 1-3s gaps on the skewed
+    # conversations a frame holds ~150 turns and the sliding plan's
+    # O(rows x frame) replay explodes, while the prefix/routed paths
+    # stay O(rows) — the actual design point.  Smaller input (2 x 500k
+    # turns) keeps the pathological leg's wall time bounded.
+    tmpd = "/tmp/bench_xskew_dense.parquet"
+    n_dense = _gen(tmpd, 10_000, skew_convs=2, skew_len=500_000,
+                   dense_skew=True)
+    dense_sliding = _timed_min(
+        32, tmpd, lambda df: feature_vector(df, rolling_strategy="sliding"),
+        reps=1,
+    )
+    dense_routed = _timed_min(
+        32, tmpd, skew_routed_feature_vector, reps=1, chunk_rows=131_072
+    )
+    log(
+        f"  skew-dense: sliding-plain {dense_sliding:.2f}s vs routed "
+        f"{dense_routed:.2f}s"
+    )
     return {
         "n_turns": n_turns,
         "plain_sliding_sec": round(plain_sliding, 3),
         "plain_prefix_sec": round(plain_prefix, 3),
         "routed_sec": round(routed, 3),
         "speedup_vs_pathology": round(plain_sliding / best, 2),
+        "dense_n_turns": n_dense,
+        "dense_sliding_sec": round(dense_sliding, 3),
+        "dense_routed_sec": round(dense_routed, 3),
+        "dense_speedup": round(dense_sliding / dense_routed, 2),
     }
 
 

@@ -324,6 +324,8 @@ def ivf_index(
       centroid); centroid norms are computed on the driver with the
       same left-fold float sequence as the engines'.
     """
+    from pyspark import StorageLevel
+
     spark = corpus.sparkSession
     dim = dim if dim is not None else _sniff_dim(corpus, vec_col)
     c = corpus.select(
@@ -331,6 +333,13 @@ def ivf_index(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("vn"),
     )
+    # The build runs 1 init job + `iters` assignment jobs over the same
+    # projection; cache it for the build (MLlib's KMeans does the same
+    # with its training vectors) and unpersist before returning — the
+    # final lazy `assignments` consumer then recomputes the projection
+    # ONCE instead of every iteration rescanning the corpus, and no
+    # cache blocks outlive the function (the r2 leak pattern).
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
 
     init_rows = (
         c.withColumn(
@@ -421,6 +430,7 @@ def ivf_index(
         [(lid, vec, _py_norm(vec)) for lid, vec in centroids],
         "list_id int, centroid array<double>, cnorm double",
     )
+    c.unpersist()  # build done; final consumer recomputes the projection once
     return assignments, cdf
 
 

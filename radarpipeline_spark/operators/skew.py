@@ -64,8 +64,36 @@ def chunked_feature_vector(
     """sessionize + lag/lead + rolling features with (entity, chunk)
     salted windows; equals feature_vector(df) minus the as-of join
     (compose with asof_join afterwards).  ``strategy`` as in
-    rolling_features — "prefix" (default) diffs incremental totals
-    within each (entity, chunk), "sliding" replays frames."""
+    rolling_features — "prefix" (default, growing-frame diffs) or
+    "sliding".
+
+    ONE full-data exchange, no persist (r3 redesign; the previous
+    two-pass structure shuffled the full rows twice and needed a
+    persist barrier, which both cost wall time and — in any timing
+    harness — invited cross-rep cache hits):
+
+    * a NARROW side pass (entity, turn, ts, role, tool — no text)
+      computes per-row inter-turn latency and session-start flags with
+      1-row chunk halos; from it come (a) the per-chunk session-start
+      totals -> exclusive-prefix offsets (tiny, broadcast back), and
+      (b) the HALO rows themselves — the suffix of each chunk that the
+      next chunk's frames reach into, carrying their already-exact
+      latency/role/tool as values.  Re-deriving this narrow pass for
+      its consumers costs a few narrow scans, not a persist.
+    * the MAIN pass shuffles the full rows ONCE on (entity, chunk),
+      with the narrow halo rows unioned in: lag/lead/flags for real
+      rows come from the partition-local window (their predecessor —
+      the last halo row — is present), halo rows use their carried
+      latency, and the row/range frames + prefix stats run over the
+      same partitioning (an in-stage re-sort, no exchange).  Session
+      ids = broadcast offsets + local running flag sums.
+
+    Halo membership is a SUFFIX of the previous chunk (both criteria —
+    last k-1 rows, ts within Δ of the next chunk's start — select
+    suffixes since ts is non-decreasing), so positional row frames of
+    real rows see exactly the rows the unchunked plan would.  Output
+    is bit-identical to the plain operators (pinned in test_skew).
+    """
     if chunk_rows < last_k - 1:
         # the positional halo reaches exactly one chunk back, so a row
         # frame of k rows needs every chunk to hold at least k-1 rows —
@@ -74,49 +102,40 @@ def chunked_feature_vector(
             f"chunk_rows={chunk_rows} must be >= last_k-1={last_k - 1}"
         )
     C = chunk_rows
+    k, d = last_k, range_seconds
     cols = df.columns
-    base = df.withColumn("__chunk", (F.col(order_col) / C).cast("long"))
+    chunk_of = (F.col(order_col) / C).cast("long")
 
-    # ---- pass 1: lag/lead/session flags with 1-row halos -------------
-    back_halo = base.filter(F.col(order_col) % C == C - 1).withColumn(
+    # ---- narrow side pass: latency + session flag per row ------------
+    nar = df.select(entity_col, order_col, ts_col, role_col, tool_col)
+    nb = nar.withColumn("__chunk", chunk_of)
+    nback = nb.filter(F.col(order_col) % C == C - 1).withColumn(
         "__chunk", F.col("__chunk") + 1
     )
-    fwd_halo = base.filter(
-        (F.col(order_col) % C == 0) & (F.col("__chunk") > 0)
-    ).withColumn("__chunk", F.col("__chunk") - 1)
-    u = (
-        base.withColumn("__halo", F.lit(0))
-        .unionByName(back_halo.withColumn("__halo", F.lit(1)))
-        .unionByName(fwd_halo.withColumn("__halo", F.lit(1)))
+    nu = nb.withColumn("__nh", F.lit(0)).unionByName(
+        nback.withColumn("__nh", F.lit(1))
     )
-
-    w = Window.partitionBy(entity_col, "__chunk").orderBy(order_col)
-    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = F.lag(ts_us(ts_col)).over(w)
-    gap_us = ts_us(ts_col) - prev_us
-    # NULL prev means "no previous turn in this chunk+halo"; for real
-    # rows that is exactly "first turn of the conversation".
-    flag = F.when(prev_us.isNull() | (gap_us > gap_seconds * MICROS), 1).otherwise(0)
-    real_flag = F.when(F.col("__halo") == 0, flag).otherwise(0)
-
-    p1 = u.select(
-        *cols,
+    wn = Window.partitionBy(entity_col, "__chunk").orderBy(order_col)
+    prev_us_n = F.lag(ts_us(ts_col)).over(wn)
+    gap_us_n = ts_us(ts_col) - prev_us_n
+    nflags = nu.select(
+        entity_col,
         "__chunk",
-        "__halo",
-        F.lag(ts_col).over(w).alias("prev_ts"),
-        F.lead(ts_col).over(w).alias("next_ts"),
-        ((ts_us(ts_col) - F.lag(ts_us(ts_col)).over(w)) / F.lit(float(MICROS)))
-        .cast("double")
-        .alias("inter_turn_latency_s"),
-        F.lag(role_col).over(w).alias("prev_role"),
-        F.sum(real_flag).over(running).alias("__local_cum"),
-        real_flag.alias("__flag"),
-    ).filter(F.col("__halo") == 0)
+        order_col,
+        ts_col,
+        role_col,
+        tool_col,
+        "__nh",
+        (gap_us_n / F.lit(float(MICROS))).cast("double").alias("__lat"),
+        F.when(
+            prev_us_n.isNull() | (gap_us_n > gap_seconds * MICROS), 1
+        ).otherwise(0).alias("__flag"),
+    ).filter(F.col("__nh") == 0)
 
-    # exclusive prefix of per-chunk flag totals -> global session_id.
-    # The totals table is tiny (n_rows / chunk_rows), so the per-entity
-    # window over it is cheap even for extreme conversations.
-    totals = p1.groupBy(entity_col, "__chunk").agg(F.sum("__flag").alias("__t"))
+    # per-chunk session-start totals -> exclusive prefix offsets (tiny)
+    totals = nflags.groupBy(entity_col, "__chunk").agg(
+        F.sum("__flag").alias("__t")
+    )
     wprefix = (
         Window.partitionBy(entity_col)
         .orderBy("__chunk")
@@ -127,23 +146,9 @@ def chunked_feature_vector(
         "__chunk",
         F.coalesce(F.sum("__t").over(wprefix), F.lit(0)).alias("__offset"),
     )
-    p1 = p1.join(offsets, on=[entity_col, "__chunk"], how="left").withColumn(
-        "session_id",
-        (F.col("__offset") + F.col("__local_cum") - 1).cast("int"),
-    )
-    # p1 feeds four consumers (offsets above, halo2, the union, and the
-    # final select); without a materialization barrier Spark would
-    # recompute the whole pass-1 window chain once per consumer
-    # (measured 5x blowup).  Persist it — in skew-routed mode this is
-    # only the long-tail conversations, a small fraction of the input.
-    from pyspark import StorageLevel
 
-    p1 = p1.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # ---- pass 2: rolling frames with (k-1)-row + time halo -----------
-    # bounds needs only (entity, chunk, min ts): computable from the raw
-    # input, keeping it off the p1 dependency chain.
-    bounds = base.groupBy(entity_col, "__chunk").agg(
+    # per-chunk first timestamp (from the raw scan; tiny result)
+    bounds = nar.groupBy(entity_col, chunk_of.alias("__chunk")).agg(
         F.min(ts_us(ts_col)).alias("__first_us")
     )
     if validate:
@@ -152,13 +157,13 @@ def chunked_feature_vector(
             bounds.withColumn("__p", F.lag("__first_us").over(wv))
             .filter(
                 F.col("__p").isNotNull()
-                & (F.col("__first_us") - F.col("__p") < range_seconds * MICROS)
+                & (F.col("__first_us") - F.col("__p") < d * MICROS)
             )
             .count()
         )
         if bad:
             raise ValueError(
-                f"{bad} chunks span < range_seconds={range_seconds}s; "
+                f"{bad} chunks span < range_seconds={d}s; "
                 f"raise chunk_rows (currently {chunk_rows})"
             )
     nxt = bounds.select(
@@ -166,72 +171,119 @@ def chunked_feature_vector(
         (F.col("__chunk") - 1).alias("__chunk"),
         F.col("__first_us").alias("__next_first_us"),
     )
-    halo2 = (
-        p1.join(nxt, on=[entity_col, "__chunk"], how="inner")
-        .filter(
-            (F.col(order_col) % C >= C - (last_k - 1))
-            | (ts_us(ts_col) >= F.col("__next_first_us") - range_seconds * MICROS)
-        )
-        .withColumn("__chunk", F.col("__chunk") + 1)
-        .drop("__next_first_us")
+
+    # halo rows, ONE derivation of the narrow pass (it has no
+    # materialization barrier, so every consumer re-runs it — merge
+    # the two halo kinds into a single tag-explode):
+    #  +1: the suffix of chunk c-1 the next chunk's frames reach
+    #      (always >= 1 row, so every first-of-chunk real row has its
+    #      lag predecessor in-partition), latency carried as a value;
+    #  -1: the first row of chunk c+1, for next_ts/lead of the chunk's
+    #      last real row.
+    # (__next_first_us null <=> no next chunk exists -> no +1 halo)
+    suffix_cond = F.col("__next_first_us").isNotNull() & (
+        (F.col(order_col) % C >= C - max(k - 1, 1))
+        | (ts_us(ts_col) >= F.col("__next_first_us") - d * MICROS)
     )
-    u2 = p1.withColumn("__h2", F.lit(0)).unionByName(
-        halo2.withColumn("__h2", F.lit(1))
+    fwd_cond = (F.col(order_col) % C == 0) & (F.col("__chunk") > 0)
+    halos = (
+        nflags.join(F.broadcast(nxt), on=[entity_col, "__chunk"], how="left")
+        .select(
+            "*",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(suffix_cond, F.lit(1)),
+                        F.when(fwd_cond, F.lit(-1)),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("__dchunk"),
+        )
+        .withColumn("__chunk", F.col("__chunk") + F.col("__dchunk"))
+        .drop("__next_first_us", "__nh", "__flag", "__dchunk")
     )
 
+    # ---- main pass: ONE exchange on (entity, chunk) ------------------
+    halo_cols = {entity_col, order_col, ts_col, role_col, tool_col}
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def halo_branch(h):
+        return h.select(
+            *[
+                F.col(c) if c in halo_cols
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ],
+            "__chunk",
+            F.lit(1).alias("__h"),
+            F.col("__lat").alias("__car_lat"),
+        )
+
+    main = (
+        df.withColumn("__chunk", chunk_of)
+        .withColumn("__h", F.lit(0))
+        .withColumn("__car_lat", F.lit(None).cast("double"))
+        .unionByName(halo_branch(halos))
+    )
+
+    w = Window.partitionBy(entity_col, "__chunk").orderBy(order_col)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(ts_us(ts_col)).over(w)
+    gap_us = ts_us(ts_col) - prev_us
+    flag = F.when(
+        prev_us.isNull() | (gap_us > gap_seconds * MICROS), 1
+    ).otherwise(0)
+    real_flag = F.when(F.col("__h") == 0, flag).otherwise(0)
+    lat_expr = F.coalesce(
+        F.col("__car_lat"),
+        (gap_us / F.lit(float(MICROS))).cast("double"),
+    )
+    p = main.select(
+        *cols,
+        "__chunk",
+        "__h",
+        F.lag(ts_col).over(w).alias("prev_ts"),
+        F.lead(ts_col).over(w).alias("next_ts"),
+        lat_expr.alias("inter_turn_latency_s"),
+        F.lag(role_col).over(w).alias("prev_role"),
+        F.sum(real_flag).over(running).alias("__local_cum"),
+    )
+
+    # rolling frames over the SAME partitioning (in-stage re-sort only)
     row_frame = (
         Window.partitionBy(entity_col, "__chunk")
         .orderBy(order_col)
-        .rowsBetween(-(last_k - 1), Window.currentRow)
+        .rowsBetween(-(k - 1), Window.currentRow)
     )
     time_frame = (
         Window.partitionBy(entity_col, "__chunk")
         .orderBy(ts_us(ts_col))
-        .rangeBetween(-range_seconds * MICROS, Window.currentRow)
+        .rangeBetween(-d * MICROS, Window.currentRow)
     )
     is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
     lat = F.col("inter_turn_latency_s")
-    k, d = last_k, range_seconds
-    carry = [
-        *cols, "session_id", "prev_ts", "next_ts",
-        "inter_turn_latency_s", "prev_role", "__h2",
-    ]
     sliding_feats = [
         F.count("*").over(row_frame).cast("long").alias(f"turns_last_{k}"),
         F.avg(is_tool).over(row_frame).alias(f"tool_rate_last_{k}"),
         F.min(lat).over(time_frame).alias(f"latency_min_{d}s"),
         F.max(lat).over(time_frame).alias(f"latency_max_{d}s"),
     ]
+    carry = [
+        *cols, "__chunk", "__h", "__local_cum",
+        "prev_ts", "next_ts", "inter_turn_latency_s", "prev_role",
+    ]
     if strategy == "prefix":
-        # growing-frame diffs within (entity, chunk) — the halo rows
-        # (__h2=1) are present in the partition so frame diffs near
-        # the chunk head stay exact; same bit-identical stats as the
-        # plain prefix path (pinned by test_skew equality vs plain)
-        t1 = u2.select(*carry, "__chunk", *sliding_feats)
+        t1 = p.select(*carry, *sliding_feats)
         t1 = prefix_lat_stats(
             t1, [entity_col, "__chunk"], ts_col, "inter_turn_latency_s",
-            range_seconds, f"latency_mean_{d}s", f"latency_std_{d}s",
+            d, f"latency_mean_{d}s", f"latency_std_{d}s",
         )
-        out = (
-            t1.filter(F.col("__h2") == 0)
-            .drop("__h2", "__chunk")
-            .select(
-                *cols, "session_id", "prev_ts", "next_ts",
-                "inter_turn_latency_s", "prev_role",
-                f"turns_last_{k}", f"tool_rate_last_{k}",
-                f"latency_mean_{d}s", f"latency_std_{d}s",
-                f"latency_min_{d}s", f"latency_max_{d}s",
-            )
+    else:
+        _prep, _mean_s, _std_s = deterministic_lat_stats(
+            "inter_turn_latency_s", time_frame
         )
-        return out
-    # sliding: same deterministic mean/std as the plain path
-    # (bit-equality between chunked and plain output pinned by test_skew)
-    _prep, _mean_s, _std_s = deterministic_lat_stats(
-        "inter_turn_latency_s", time_frame
-    )
-    u2 = u2.select("*", *_prep)  # limbs: once per row, outside the frame
-    out = (
-        u2.select(
+        t1 = p.select(*carry, *_prep).select(
             *carry,
             sliding_feats[0],
             sliding_feats[1],
@@ -240,8 +292,21 @@ def chunked_feature_vector(
             sliding_feats[2],
             sliding_feats[3],
         )
-        .filter(F.col("__h2") == 0)
-        .drop("__h2")
+
+    out = (
+        t1.filter(F.col("__h") == 0)
+        .join(F.broadcast(offsets), on=[entity_col, "__chunk"], how="left")
+        .withColumn(
+            "session_id",
+            (F.col("__offset") + F.col("__local_cum") - 1).cast("int"),
+        )
+        .select(
+            *cols, "session_id", "prev_ts", "next_ts",
+            "inter_turn_latency_s", "prev_role",
+            f"turns_last_{k}", f"tool_rate_last_{k}",
+            f"latency_mean_{d}s", f"latency_std_{d}s",
+            f"latency_min_{d}s", f"latency_max_{d}s",
+        )
     )
     return out
 

@@ -152,6 +152,7 @@ def synthesize_transcripts(
     skew_convs: int = 2,
     skew_len: int = 50_000,
     base_epoch: int = 1_704_067_200,  # 2024-01-01T00:00:00Z
+    dense_skew: bool = False,
 ) -> DataFrame:
     """Seeded synthetic transcripts at arbitrary scale.
 
@@ -181,11 +182,19 @@ def synthesize_transcripts(
         "conv",
         F.explode(F.sequence(F.lit(0), F.col("conv_len") - 1)).alias("turn_idx"),
     )
-    # gap: 1-599s normally; every 37th draw is a 35-minute session break
+    # gap: 1-599s normally; every 37th draw is a 35-minute session break.
+    # dense_skew=True gives the SKEWED conversations 1-3s gaps instead —
+    # a trailing 300s range frame then holds ~100-300 turns, the
+    # frame-replay pathology the prefix/chunked rolling paths exist for
+    # (default gaps average ~300s, so frames hold ~1 row and sliding
+    # replay is accidentally cheap).  Non-skewed rows are unchanged.
     draw = F.pmod(h(F.col("conv"), F.col("turn_idx")), F.lit(10_000))
-    gap_s = F.when(F.col("turn_idx") == 0, F.lit(0)).otherwise(
-        F.when(draw % 37 == 0, F.lit(2100)).otherwise(draw % 599 + 1)
-    )
+    normal_gap = F.when(draw % 37 == 0, F.lit(2100)).otherwise(draw % 599 + 1)
+    if dense_skew:
+        normal_gap = F.when(
+            F.col("conv") < F.lit(skew_convs), draw % 3 + 1
+        ).otherwise(normal_gap)
+    gap_s = F.when(F.col("turn_idx") == 0, F.lit(0)).otherwise(normal_gap)
     w = Window.partitionBy("conv").orderBy("turn_idx")
     role_draw = F.pmod(h(F.col("conv"), F.col("turn_idx"), F.lit(1)), F.lit(6))
     tool_draw = F.pmod(h(F.col("conv"), F.col("turn_idx"), F.lit(2)), F.lit(4))
