@@ -1229,6 +1229,45 @@ def q_doc_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_feature_vector_routed(spark, sf_dir):
+    """The SKEW-ROUTED feature vector, driver-graded against the SAME
+    oracle as the plain flagship: conversations longer than chunk_rows
+    take the (conv, chunk) salted-window path with exact halos, the
+    rest the plain single-shuffle path — and the union must be
+    bit-identical to the unchunked plan (chunk_rows=16 routes most
+    conversations through the chunked machinery at these SFs;
+    validate=True proves the chunk-span precondition on real data)."""
+    from radarpipeline_spark.operators.asof import asof_join
+    from radarpipeline_spark.operators.skew import (
+        chunked_feature_vector,
+        skew_routed_feature_vector,
+    )
+
+    # The routed plan consumes the transcript table several times
+    # (route split, narrow halo pass, main pass, validate).  Here the
+    # "table" is itself DERIVED (events -> pivot window), so each
+    # consumer would re-run that derivation — localCheckpoint
+    # materializes it once, exactly as a production run would read an
+    # already-materialized transcripts table.  (Checkpoint blocks are
+    # freed by the ContextCleaner when the DataFrame is unreferenced —
+    # not a session-lifetime persist leak.)
+    t = _transcripts(spark, sf_dir).localCheckpoint()
+    # precondition check runs on the long slice only (what chunks)
+    long_ids = t.filter(F.col("turn_idx") >= 16).select("conv_id").distinct()
+    chunked_feature_vector(
+        t.join(F.broadcast(long_ids), "conv_id", "left_semi"),
+        chunk_rows=16, validate=True,
+    )
+    df = asof_join(
+        skew_routed_feature_vector(t, chunk_rows=16), _aux(spark, sf_dir)
+    )
+    return _round6(
+        df,
+        "inter_turn_latency_s", "tool_rate_last_10",
+        "latency_min_300s", "latency_max_300s", "asof_aux_value",
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: jaccard pairs -> connected components via
     distributed min-label propagation (driver loop over iterations
@@ -1247,6 +1286,7 @@ def queries():  # noqa: F811
     q = _BASE_QUERIES7()
     q["doc_sample"] = q_doc_sample
     q["doc_sample_stratified"] = q_doc_sample_stratified
+    q["feature_vector_routed"] = q_feature_vector_routed
     q["dedup_clusters"] = q_dedup_clusters
     q["events_rollup"] = q_events_rollup
     q["events_pivot"] = q_events_pivot
@@ -1296,6 +1336,11 @@ SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       % 100 < 10
 """
+    # the routed path is pinned bit-identical to the plain plan, so it
+    # is graded against the IDENTICAL SQL — the strongest cross-check
+    # the driver offers (chunk halos, offsets, and the union must all
+    # reproduce the unchunked values to the last ulp)
+    o["feature_vector_routed"] = o["feature_vector"]
     # stratified twin: same h60 bucket, rate resolved per lang — the
     # CASE mirrors stratified_hash_sample's sorted when-chain
     o["doc_sample_stratified"] = """

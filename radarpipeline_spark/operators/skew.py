@@ -322,7 +322,8 @@ def skew_routed_feature_vector(
     ts_col: str = "ts",
     tool_col: str = "tool",
     role_col: str = "role",
-    strategy: str = "prefix",
+    strategy: str = "sliding",
+    chunk_strategy: str = "prefix",
 ) -> DataFrame:
     """Hybrid skew routing: conversations that fit in one chunk take the
     plain single-shuffle window path; only the long tail pays the
@@ -332,6 +333,14 @@ def skew_routed_feature_vector(
     per-conversation count aggregation over the full data).
 
     Identical output to feature_vector(df) minus the as-of join.
+
+    Default strategies differ per route, by frame density (see
+    feature_vector's docstring): the short-conversation bulk runs
+    ``strategy="sliding"`` (frames are sparse, replay is nearly free),
+    while the chunked giants run ``chunk_strategy="prefix"`` — a
+    conversation only GETS to 10^8 turns with sub-second gaps, i.e.
+    dense frames, where sliding replay inside a 131k-row chunk would
+    be O(chunk x frame) and the growing-frame diff stays O(chunk).
     """
     from radarpipeline_spark.operators.lag_lead import lag_lead_features
     from radarpipeline_spark.operators.rolling import rolling_features
@@ -354,7 +363,7 @@ def skew_routed_feature_vector(
     chunked = chunked_feature_vector(
         long, chunk_rows, gap_seconds, last_k, range_seconds,
         entity_col, order_col, ts_col, tool_col, role_col,
-        strategy=strategy,
+        strategy=chunk_strategy,
     )
     return plain.unionByName(chunked.select(*plain.columns))
 

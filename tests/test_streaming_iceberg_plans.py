@@ -64,7 +64,7 @@ def test_feature_plan_fused_shape(spark, tiny):
     )
     shape = plan_shape(feature_vector(tiny, aux, rolling_strategy="sliding"))
     assert shape["exchanges"] == 2, shape
-    shape_p = plan_shape(feature_vector(tiny, aux))
+    shape_p = plan_shape(feature_vector(tiny, aux, rolling_strategy="prefix"))
     assert shape_p["exchanges"] == 2, shape_p
 
 
