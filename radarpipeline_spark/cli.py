@@ -157,11 +157,24 @@ def run_plugin_pipeline(spark, cfg: dict) -> dict:
     radarpipeline/radarpipeline.py:13-35 + project/project.py:161-215).
     """
     from radarpipeline_spark.features.api import discover_feature_groups
+    from radarpipeline_spark.features.fetch import (
+        is_git_location,
+        resolve_feature_location,
+    )
     from radarpipeline_spark.sinks.writer import write_features
     from radarpipeline_spark.sources.radar_csv import read_radar_dataset
 
     feats = cfg.get("features", {})
-    groups = [g for m in feats["modules"] for g in discover_feature_groups(m)]
+    # git-hosted plugin repos resolve to a local cache checkout first
+    # (reference: project/validations.py:149-187); plain module names
+    # and local paths pass through untouched
+    modules = [
+        resolve_feature_location(m, branch=feats.get("branch"))
+        if is_git_location(m)
+        else m
+        for m in feats["modules"]
+    ]
+    groups = [g for m in modules for g in discover_feature_groups(m)]
     variables = sorted({v for g in groups for v in g.required_input_data})
     data = read_radar_dataset(
         spark, cfg["input"]["path"], variables, cfg["input"].get("users")

@@ -352,3 +352,69 @@ def test_sftp_mirror_with_fake_client(tmp_path):
     assert got2 == [
         "u1/steps/0000.csv.gz", "u1/steps/0001.csv.gz", "u1/steps/schema.json",
     ]
+
+
+def test_git_plugin_fetch_roundtrip(tmp_path):
+    """Reference parity (project/validations.py:149-187): git-hosted
+    feature locations clone into a cache dir, hard-reset stale local
+    edits, fall back with a warning when the branch doesn't exist, and
+    pull updates on re-resolve.  Driven against a LOCAL fixture repo
+    over file:// — the full git path, no network."""
+    import subprocess
+
+    from radarpipeline_spark.features.api import discover_feature_groups
+    from radarpipeline_spark.features.fetch import (
+        is_git_location,
+        repo_name_from_url,
+        resolve_feature_location,
+    )
+
+    assert is_git_location("https://github.com/org/repo.git")
+    assert is_git_location("git@github.com:org/repo.git")
+    assert not is_git_location("/plugins/local_dir")
+    assert repo_name_from_url("https://h/org/myfeat.git") == "myfeat"
+
+    plugin_src = (
+        "from radarpipeline_spark.features.api import Feature, FeatureGroup\n"
+        "class F1(Feature):\n"
+        "    name = 'f1'\n"
+        "    required_input_data = []\n"
+        "    def calculate(self, data):\n"
+        "        return None\n"
+        "class GitPlugin(FeatureGroup):\n"
+        "    name = 'NAME'\n"
+        "    features = [F1]\n"
+    )
+
+    origin = tmp_path / "origin" / "myfeat"
+    origin.mkdir(parents=True)
+    git = lambda *a, cwd=origin: subprocess.run(  # noqa: E731
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", *a],
+        cwd=cwd, check=True, capture_output=True,
+    )
+    git("init", "-b", "main")
+    (origin / "__init__.py").write_text(plugin_src.replace("NAME", "v1"))
+    git("add", "-A")
+    git("commit", "-m", "v1")
+
+    cache = str(tmp_path / "cache")
+    url = "file://" + str(origin)
+    # branch fallback: 'nope' doesn't exist -> warn, stay on main
+    loc = resolve_feature_location(url, branch="nope", cache_root=cache)
+    got = discover_feature_groups(loc)
+    assert [g.name for g in got] == ["v1"]
+
+    # upstream moves; a stale local edit in the cache must be discarded
+    (origin / "__init__.py").write_text(plugin_src.replace("NAME", "v2"))
+    git("add", "-A")
+    git("commit", "-m", "v2")
+    import pathlib
+
+    pathlib.Path(loc, "__init__.py").write_text("garbage (")
+    loc2 = resolve_feature_location(url, branch="main", cache_root=cache)
+    assert loc2 == loc
+    assert [g.name for g in discover_feature_groups(loc2)] == ["v2"]
+
+    # local non-dir -> the reference's ValueError
+    with pytest.raises(ValueError, match="Invalid feature location"):
+        resolve_feature_location(str(tmp_path / "missing"))
