@@ -429,3 +429,202 @@ def stream_asof_backfill_unordered(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ROLLING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("inter_turn_latency_s", DoubleType(), True),
+        StructField("turns_last_k", LongType(), False),
+        StructField("tool_rate_last_k", DoubleType(), False),
+        StructField("latency_mean_s", DoubleType(), True),
+        StructField("latency_std_s", DoubleType(), True),
+        StructField("latency_min_s", DoubleType(), True),
+        StructField("latency_max_s", DoubleType(), True),
+    ]
+)
+
+# bounded per-conversation carry: rows still inside the Δ horizon or the
+# (k-1)-row positional tail, plus the running turn count
+ROLLING_STATE_SCHEMA = StructType(
+    [
+        StructField("buf_us", ArrayType(LongType()), True),
+        StructField("buf_lat_us", ArrayType(LongType(), True), True),
+        StructField("buf_tool", ArrayType(IntegerType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def _rolling_batch(pdf, buf_us, buf_lat, buf_tool, n_seen, k, d_us):
+    """Vectorized trailing-window features over (carried buffer ++ new
+    batch), numerically identical to the batch operators:
+
+    * exact integer-microsecond sums (the same 2^21 limb split as
+      operators/rolling.py, combined exactly via python-int
+      (object-dtype) arithmetic at the end — mirroring the engine's
+      decimal(38) combine), finished with the engine's own double
+      expressions and HALF_UP quantization to integer micros;
+    * range frames are [ts-Δ, ts] by VALUE — whole timestamp-tie
+      groups ride in every member's frame, reproduced by evaluating at
+      each tie group's last member (groupby-transform('last'));
+    * row frames are positional (no tie adjustment), count capped by
+      the conversation's total ``n_seen``.
+    """
+    import numpy as np
+
+    pdf = pdf.sort_values("turn_idx", ignore_index=True)
+    new_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    m = len(buf_us)
+    all_us = np.concatenate([np.asarray(buf_us, dtype="int64"), new_us])
+    # latency: diff against the previous turn (carried across batches)
+    prev = np.empty(len(new_us), dtype="float64")
+    prev[:] = np.nan
+    if len(new_us):
+        prev[1:] = new_us[:-1]
+        prev[0] = all_us[m - 1] if m > 0 or n_seen > 0 else np.nan
+        if m == 0 and n_seen == 0:
+            prev[0] = np.nan
+    new_lat = new_us - prev  # nan at conversation start
+    lat_all = np.concatenate(
+        [
+            np.asarray(
+                [np.nan if v is None else float(v) for v in buf_lat],
+                dtype="float64",
+            ),
+            new_lat,
+        ]
+    )
+    tool_all = np.concatenate(
+        [
+            np.asarray(buf_tool, dtype="int64"),
+            pdf["tool"].notna().to_numpy().astype("int64"),
+        ]
+    )
+    n = len(all_us)
+    mask = ~np.isnan(lat_all)
+    lat_i = np.where(mask, lat_all, 0.0).astype("int64")
+    a = lat_i >> 21
+    b = lat_i - (a << 21)
+    pad = lambda x: np.concatenate([[0], np.cumsum(x)])  # noqa: E731
+    cn, cs = pad(mask.astype("int64")), pad(lat_i)
+    c2, c1, c0 = pad(a * a), pad(2 * a * b), pad(b * b)
+    ct = pad(tool_all)
+
+    j = np.arange(n)
+    start = np.searchsorted(all_us, all_us - d_us, side="left")
+    end = np.searchsorted(all_us, all_us, side="right")  # tie-group end
+    nf = cn[end] - cn[start]
+    # exact big-int combine (object dtype = python ints, no overflow),
+    # then the engine's double expressions
+    s_ = (cs[end] - cs[start]).astype(object)
+    ssq = (
+        (c2[end] - c2[start]).astype(object) * (1 << 42)
+        + (c1[end] - c1[start]).astype(object) * (1 << 21)
+        + (c0[end] - c0[start]).astype(object)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = np.where(
+            nf > 0,
+            np.floor(
+                np.array(
+                    [float(x) for x in s_], dtype="float64"
+                ) / np.maximum(nf, 1) + 0.5
+            ) / 1e6,
+            np.nan,
+        )
+        var_num = np.array(
+            [float(int(nn) * q - ss * ss) for nn, q, ss in zip(nf, ssq, s_)],
+            dtype="float64",
+        )
+        var_den = (nf * (nf - 1)).astype("float64")
+        std = np.where(
+            nf >= 2,
+            np.floor(np.sqrt(var_num / np.maximum(var_den, 1)) + 0.5) / 1e6,
+            np.nan,
+        )
+    lat_s = lat_all / 1e6
+    ser = pd.Series(lat_s, index=pd.to_datetime(all_us, unit="us"))
+    roll = ser.rolling(pd.Timedelta(microseconds=int(d_us)), closed="both")
+    mn, mx = roll.min().to_numpy(), roll.max().to_numpy()
+    # value-frame tie fix: every tie member sees the LAST member's frame
+    grp = pd.Series(all_us)
+    fix = lambda arr: pd.Series(arr).groupby(grp).transform("last").to_numpy()  # noqa: E731
+    mean, std, mn, mx = fix(mean), fix(std), fix(mn), fix(mx)
+
+    pos = n_seen - m + j  # 0-based position within the conversation
+    w = np.minimum(k, pos + 1)
+    lo = j + 1 - np.minimum(w, j + 1)
+    rate = (ct[j + 1] - ct[lo]) / w.astype("float64")
+
+    out = pdf[["conv_id", "turn_idx", "ts"]].copy()
+    sl = slice(m, n)
+    out["inter_turn_latency_s"] = lat_s[sl]
+    out["turns_last_k"] = w[sl].astype("int64")
+    out["tool_rate_last_k"] = rate[sl]
+    out["latency_mean_s"] = mean[sl]
+    out["latency_std_s"] = std[sl]
+    out["latency_min_s"] = mn[sl]
+    out["latency_max_s"] = mx[sl]
+
+    # retention: Δ horizon ∪ last k-1 rows ∪ the last row (latency)
+    keep_from = int(
+        min(
+            np.searchsorted(all_us, all_us[-1] - d_us, side="left"),
+            max(n - (k - 1), 0),
+            n - 1,
+        )
+    )
+    return (
+        out,
+        [int(x) for x in all_us[keep_from:]],
+        [None if not mk else int(v) for v, mk in
+         zip(lat_i[keep_from:], mask[keep_from:])],
+        [int(x) for x in tool_all[keep_from:]],
+        int(n_seen + len(new_us)),
+    )
+
+
+def stream_rolling_features(
+    stream: DataFrame,
+    last_k: int = 10,
+    range_seconds: int = 300,
+) -> DataFrame:
+    """Streaming twin of ``lag_lead_features`` + ``rolling_features``:
+    per-turn inter-turn latency, last-k row-frame features, and the
+    exact deterministic Δ-second latency stats, carried across
+    micro-batches with a BOUNDED per-conversation state (rows inside
+    the Δ horizon plus the k-1 positional tail — not the conversation
+    history).  Same ordering contract as :func:`stream_sessionize`;
+    timestamp-tie groups must not split across batches (a tie member's
+    range frame includes later members by value).
+
+    Outputs match the batch operators bit-for-bit (pytest-pinned)."""
+    d_us = range_seconds * MICROS
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            b_us, b_lat, b_tool, n_seen = state.get
+            b_us, b_lat, b_tool = list(b_us), list(b_lat), list(b_tool)
+        else:
+            b_us, b_lat, b_tool, n_seen = [], [], [], 0
+        for pdf in pdfs:
+            out, b_us, b_lat, b_tool, n_seen = _rolling_batch(
+                pdf, b_us, b_lat, b_tool, n_seen, last_k, d_us
+            )
+            yield out
+        state.update((b_us, b_lat, b_tool, n_seen))
+
+    return (
+        stream.select("conv_id", "turn_idx", "ts", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ROLLING_OUTPUT_SCHEMA,
+            stateStructType=ROLLING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -356,3 +356,76 @@ def test_stream_asof_unordered_matches_batch(spark, tmp_path):
     }
     assert got == exp and len(got) == 4
     assert got[0] is None and got[1] == 5.0 and got[3] is None
+
+
+def test_stream_rolling_matches_batch(spark, tmp_path):
+    """Streaming rolling-features twin == batch lag_lead+rolling,
+    bit-for-bit, with conversations split mid-stream and state carrying
+    the Δ-horizon buffer + positional tail: dense sub-frame gaps,
+    session-scale gaps, tool/non-tool mix, timestamp ties (within one
+    batch), and a conversation-start NULL latency."""
+    import datetime as dt
+
+    from radarpipeline_spark.operators import lag_lead_features, rolling_features
+    from radarpipeline_spark.streaming.stateful import stream_rolling_features
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # conv a: dense 20-70s gaps, a tie pair, a 2100s session break
+    gaps = [0, 20, 30, 45, 0, 70, 2100, 10, 10, 61, 250, 299, 301, 5]
+    acc = 0
+    for i, g in enumerate(gaps):
+        acc += g
+        rows.append(("a", i, "user", f"x{i}",
+                     "search" if i % 3 == 0 else None,
+                     t0 + dt.timedelta(seconds=acc)))
+    # conv b: short, all in one batch half
+    for i, g in enumerate([0, 120, 500]):
+        rows.append(("b", i, "u", "y", None,
+                     t0 + dt.timedelta(seconds=1000 + 120 * i)))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp_ntz")
+    df = spark.createDataFrame(rows, schema)
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("rsrc", "rckpt", "rout"))
+    os.makedirs(src)
+
+    def drain():
+        q = (
+            stream_rolling_features(
+                spark.readStream.schema(schema).parquet(src),
+                last_k=4, range_seconds=300,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # split conv a at turn 8 (mid-dense-run, so the Δ buffer must carry)
+    df.filter("conv_id = 'b' or turn_idx <= 7").write.mode("append").parquet(src)
+    drain()
+    df.filter("conv_id = 'a' and turn_idx > 7").write.mode("append").parquet(src)
+    drain()
+
+    batch = rolling_features(
+        lag_lead_features(df), last_k=4, range_seconds=300
+    ).select(
+        "conv_id", "turn_idx", "inter_turn_latency_s",
+        F.col("turns_last_4").alias("turns_last_k"),
+        F.col("tool_rate_last_4").alias("tool_rate_last_k"),
+        F.col("latency_mean_300s").alias("latency_mean_s"),
+        F.col("latency_std_300s").alias("latency_std_s"),
+        F.col("latency_min_300s").alias("latency_min_s"),
+        F.col("latency_max_300s").alias("latency_max_s"),
+    )
+    streamed = spark.read.parquet(out).drop("ts")
+    cols = sorted(batch.columns)
+    key = lambda d: sorted(  # noqa: E731
+        tuple(repr(r[c]) for c in cols) for r in d.collect()
+    )
+    assert streamed.count() == batch.count() == len(rows)
+    assert key(streamed) == key(batch)
