@@ -1268,6 +1268,24 @@ def q_feature_vector_routed(spark, sf_dir):
     )
 
 
+def q_curation(spark, sf_dir):
+    """The composed LLM-curation sweep as ONE lazy plan: token-count +
+    quality + language filters (scan-stage projections), exact dedup
+    (the only shuffle: min-id window over content hash), deterministic
+    hash sample last.  Every stage is an already-hash-graded building
+    block, so the composition grades end-to-end too."""
+    from radarpipeline_spark.operators.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        min_tokens=6,
+        min_quality=0.35,
+        langs=["en", "de", "fr"],
+        dedup=True,
+        sample_pct=60,
+    ).select("doc_id", "lang_pred", "n_tokens", "quality_score")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: jaccard pairs -> connected components via
     distributed min-label propagation (driver loop over iterations
@@ -1287,6 +1305,7 @@ def queries():  # noqa: F811
     q["doc_sample"] = q_doc_sample
     q["doc_sample_stratified"] = q_doc_sample_stratified
     q["feature_vector_routed"] = q_feature_vector_routed
+    q["curation"] = q_curation
     q["dedup_clusters"] = q_dedup_clusters
     q["events_rollup"] = q_events_rollup
     q["events_pivot"] = q_events_pivot
@@ -1341,6 +1360,54 @@ WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
     # the driver offers (chunk halos, offsets, and the union must all
     # reproduce the unchunked values to the last ulp)
     o["feature_vector_routed"] = o["feature_vector"]
+    # curation: the text_stats / lang_id / dedup_exact / doc_sample
+    # twins composed into one chain, mirroring each stage's graded SQL
+    o["curation"] = """
+WITH s AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         round((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                / length(text))
+               * least(ln(length(text) + 1.0) / ln(1000.0), 1.0), 6)
+             AS quality_score,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, text, n_tokens, quality_score,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], lower(x)))) AS hits_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], lower(x)))) AS hits_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], lower(x)))) AS hits_es,
+    len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], lower(x)))) AS hits_fr
+  FROM s
+),
+p AS (
+  SELECT doc_id, text, n_tokens, quality_score,
+    CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+         WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+         WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+         WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM h
+),
+f AS (
+  SELECT * FROM p
+  WHERE n_tokens >= 6 AND quality_score >= 0.35
+    AND lang_pred IN ('en', 'de', 'fr')
+),
+d AS (
+  SELECT *,
+         min(doc_id) OVER (
+           PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+         ) AS canon
+  FROM f
+)
+SELECT doc_id, lang_pred, n_tokens, quality_score
+FROM d
+WHERE doc_id = canon
+  AND ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 100 < 60
+"""
     # stratified twin: same h60 bucket, rate resolved per lang — the
     # CASE mirrors stratified_hash_sample's sorted when-chain
     o["doc_sample_stratified"] = """

@@ -1,0 +1,85 @@
+"""Composed document-curation pipeline — the standard LLM-training-data
+sweep (quality filter → language filter → exact dedup → deterministic
+sample) declared as ONE lazy Catalyst plan.
+
+Each stage reuses the already-oracle-graded building blocks
+(operators/text.py, dedup.py, sampling.py), so the whole pipeline has a
+DuckDB twin by composition and stays hash-gradable end-to-end.
+
+Physical shape at 100 TB:
+
+* the quality / token-count / language filters are pure projections
+  evaluated in the scan stage (one pass, whole-stage codegen, no
+  shuffle, no UDFs);
+* dedup is the ONLY shuffle: a window ``min(id) over content_hash`` —
+  survivors are rows equal to their group minimum, no join back;
+* sampling is a pure function of (seed, id) — no shuffle, stable under
+  repartition/retry — applied LAST so the rate applies to the
+  deduplicated survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from radarpipeline_spark.operators.dedup import h60
+from radarpipeline_spark.operators.text import (
+    lang_pred_expr,
+    n_tokens_expr,
+    quality_score_expr,
+)
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    min_quality: float | None = None,
+    langs: Sequence[str] | None = None,
+    dedup: bool = True,
+    sample_pct: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Curated corpus slice: input columns + ``n_tokens``,
+    ``quality_score`` (rounded to 6dp — the oracle-graded value, so
+    threshold comparisons are ulp-safe cross-engine) and ``lang_pred``.
+
+    Stage order is fixed and semantically load-bearing: filters first
+    (cheapest, biggest reduction), dedup over the filtered survivors
+    (a doc whose duplicates were all quality-rejected still keeps its
+    own canonical), sampling last (the advertised rate applies to the
+    corpus a training run would actually see).
+    """
+    out = df.select(
+        "*",
+        n_tokens_expr(text_col).cast("long").alias("n_tokens"),
+        quality_score_expr(text_col).alias("quality_score"),
+        lang_pred_expr(text_col).alias("lang_pred"),
+    )
+    if min_tokens is not None:
+        out = out.filter(F.col("n_tokens") >= min_tokens)
+    if max_tokens is not None:
+        out = out.filter(F.col("n_tokens") <= max_tokens)
+    if min_quality is not None:
+        out = out.filter(F.col("quality_score") >= min_quality)
+    if langs is not None:
+        out = out.filter(F.col("lang_pred").isin(list(langs)))
+    if dedup:
+        w = Window.partitionBy(h60(text_col))
+        out = out.withColumn("__canon", F.min(id_col).over(w)).filter(
+            F.col(id_col) == F.col("__canon")
+        ).drop("__canon")
+    if sample_pct is not None:
+        bucket = F.pmod(
+            h60(
+                F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string"))
+            ),
+            F.lit(100),
+        )
+        out = out.filter(bucket < sample_pct)
+    return out

@@ -22,6 +22,46 @@ STOPWORDS = {
 }
 
 
+def n_tokens_expr(text_col: str):
+    """Whitespace token count of ``text_col`` (reused by the curation
+    pipeline so filters share the exact tokenization the oracle
+    mirrors)."""
+    return F.size(tokens(text_col))
+
+
+def quality_score_expr(text_col: str):
+    """quality_score in [0, 1], rounded to 6 decimals — the SAME
+    rounded value the text_stats oracle hash-grades, so filtering on it
+    is ulp-safe cross-engine."""
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return F.round(
+        F.try_divide(n_alpha, n_chars)
+        * F.least(
+            F.log(n_chars.cast("double") + 1) / F.log(F.lit(1000.0)),
+            F.lit(1.0),
+        ),
+        6,
+    )
+
+
+def lang_pred_expr(text_col: str):
+    """Inline language prediction (argmax stopword hits, ties to the
+    first language ascending, 'und' on zero hits) — lang_id's pred
+    column as one nested expression, for single-pass pipelines."""
+    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+    langs = sorted(STOPWORDS)
+    hits = {
+        lang: F.size(F.filter(t, lambda x: x.isin(STOPWORDS[lang])))
+        for lang in langs
+    }
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (hits[lang] == best), lang).otherwise(pred)
+    return pred
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting + quality scoring (length/punct/digit ratios).
 

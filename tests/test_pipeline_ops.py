@@ -330,3 +330,45 @@ def test_group_quantiles_routes_big_groups_spillable(spark):
     # the big group really took the window path: plan shows row_number
     p = routed._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in p and "percentile" in p
+
+
+def test_curate_documents_stage_semantics(spark):
+    """Composed curation: filters before dedup (a doc whose duplicates
+    are quality-rejected keeps its own canonical), dedup keeps the
+    min-id survivor, sampling applies to deduplicated survivors, and
+    the whole pipeline is ONE plan with exactly one exchange."""
+    import pyspark.sql.functions as SF
+
+    from radarpipeline_spark.operators.curation import curate_documents
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, good),              # canonical of the dup group
+        (2, good),              # exact dup -> dropped
+        (3, "zz 123 !!"),       # fails token/quality filters
+        (4, good + " truly"),   # unique survivor
+        (5, "el la de que y en un por con los dias claros"),  # spanish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_documents(
+        df, min_tokens=5, min_quality=0.3, langs=["en"], dedup=True
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 4}
+    # single exchange (the dedup window); filters ride the scan stage.
+    # AQE's textual repr prints final + initial plans — count the final
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    # sample_pct=100 keeps everything, 0 keeps nothing (post-dedup)
+    assert curate_documents(df, dedup=True, sample_pct=100).count() == 4
+    assert curate_documents(df, dedup=True, sample_pct=0).count() == 0
+    # lang column present and correct for the spanish doc
+    lang = {r["doc_id"]: r["lang_pred"] for r in
+            curate_documents(df).collect()}
+    assert lang[5] == "es" and lang[1] == "en"
