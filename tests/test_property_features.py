@@ -110,3 +110,52 @@ def test_property_no_temporal_leakage(spark, stream, cut):
     a, b = full.select(backward), trunc.select(backward)
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+MICRO_GAPS_US = [0, 1, 2, 3, 5, 7, 11, 499_999, 500_000, 500_001,
+                 999_999, 1_000_001, 299_999_999, 300_000_001]
+
+micro_conv_strategy = st.lists(
+    st.sampled_from(MICRO_GAPS_US), min_size=2, max_size=10
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gaps=st.lists(micro_conv_strategy, min_size=1, max_size=2))
+def test_property_submillisecond_exactness(spark, gaps):
+    """ADVICE r2 hardening: microsecond-scale latencies put windowed
+    means on the 0.5µs rounding lattice — the exact cross-engine
+    failure mode the integer-limb machinery exists for.  Engine and
+    pandas oracle must agree STRICTLY (string equality, not allclose)
+    on mean/std for random sub-ms gap streams."""
+    rows = []
+    for ci, conv in enumerate(gaps):
+        t = T0
+        for ti, g_us in enumerate(conv):
+            if ti > 0:
+                t = t + dt.timedelta(microseconds=g_us)
+            rows.append((f"c{ci}", ti, "user", "x", None, t))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp_ntz",
+    )
+    pdf = df.toPandas()
+    cols = ["latency_mean_300s", "latency_std_300s"]
+    orc = oracle_rolling(oracle_lag_lead(pdf)).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    for strat in ("sliding", "prefix"):
+        eng = (
+            rolling_features(lag_lead_features(df), strategy=strat)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        )
+        for c in cols:
+            assert eng[c].astype(str).tolist() == orc[c].astype(str).tolist(), (
+                strat, c,
+            )
