@@ -331,6 +331,7 @@ from radarpipeline_spark.operators.dedup import (  # noqa: E402
 )
 from radarpipeline_spark.operators.multimodal import (  # noqa: E402
     extract_media_features,
+    sample_frame_features,
     synthesize_media,
 )
 from radarpipeline_spark.operators.similarity import (  # noqa: E402
@@ -1268,6 +1269,26 @@ def q_feature_vector_routed(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Per-frame features for video payloads: each video row crosses
+    Arrow ONCE and the kernel fans out one row per sampled frame (the
+    natural codec shape — open container once, seek per frame).  The
+    FNV stub mixes the frame index into the payload bytes, so DuckDB
+    replays every frame's features exactly."""
+    df = sample_frame_features(
+        synthesize_media(spark, n=256, seed=42).filter(F.col("kind") == "video"),
+        n_frames=3,
+    )
+    return df.select(
+        "media_id",
+        "frame_idx",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
 def q_curation(spark, sf_dir):
     """The composed LLM-curation sweep as ONE lazy plan: token-count +
     quality + language filters (scan-stage projections), exact dedup
@@ -1306,6 +1327,7 @@ def queries():  # noqa: F811
     q["doc_sample_stratified"] = q_doc_sample_stratified
     q["feature_vector_routed"] = q_feature_vector_routed
     q["curation"] = q_curation
+    q["media_frames"] = q_media_frames
     q["dedup_clusters"] = q_dedup_clusters
     q["events_rollup"] = q_events_rollup
     q["events_pivot"] = q_events_pivot
@@ -1360,6 +1382,44 @@ WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
     # the driver offers (chunk halos, offsets, and the union must all
     # reproduce the unchunked values to the last ulp)
     o["feature_vector_routed"] = o["feature_vector"]
+    # per-frame twin of the media_features replay: payload chars +
+    # ':frame:<i>' through the identical FNV-1a fold
+    o["media_frames"] = """
+WITH m AS (SELECT unnest(generate_series(0, 255)) AS media_id),
+base AS (
+  SELECT media_id,
+         ['image','audio','video'][CAST(
+             (('0x'||substr(md5('kind:42:'||media_id),1,15))::BIGINT % 3) + 1
+             AS INTEGER)] AS kind,
+         'BLOB:' || md5('payload:42:'||media_id) AS payload
+  FROM m
+),
+frames AS (
+  SELECT media_id, payload || ':frame:' || fi AS fp, fi AS frame_idx
+  FROM base, (SELECT unnest(generate_series(0, 2)) AS fi)
+  WHERE kind = 'video'
+),
+fnv AS (
+  SELECT media_id, frame_idx,
+         list_reduce(
+           list_prepend(2166136261::BIGINT,
+             list_transform(range(1, length(fp)+1),
+                            i -> unicode(fp[i]))),
+           (acc, b) -> ((xor(acc, b) * 16777619) & 4294967295)
+         ) AS acc
+  FROM frames
+)
+SELECT media_id, frame_idx,
+       round(((acc >> 0)  & 15) / 15.0, 6) AS f0,
+       round(((acc >> 4)  & 15) / 15.0, 6) AS f1,
+       round(((acc >> 8)  & 15) / 15.0, 6) AS f2,
+       round(((acc >> 12) & 15) / 15.0, 6) AS f3,
+       round(((acc >> 16) & 15) / 15.0, 6) AS f4,
+       round(((acc >> 20) & 15) / 15.0, 6) AS f5,
+       round(((acc >> 24) & 15) / 15.0, 6) AS f6,
+       round(((acc >> 28) & 15) / 15.0, 6) AS f7
+FROM fnv
+"""
     # curation: the text_stats / lang_id / dedup_exact / doc_sample
     # twins composed into one chain, mirroring each stage's graded SQL
     o["curation"] = """

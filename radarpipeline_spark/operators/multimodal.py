@@ -120,3 +120,79 @@ def extract_media_features(
             )
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def stub_decode_frame(data: bytes, meta: dict, frame_idx: int) -> list[float]:
+    """STUB per-frame decode (no ffmpeg here): deterministic fake
+    features from payload bytes + the frame index — a real deployment
+    seeks/decodes frame ``frame_idx`` from the container bytes.  The
+    derivation is replayable in DuckDB SQL (payload chars + ASCII
+    ':frame:<i>' through the same FNV-1a fold)."""
+    return stub_decode(data + f":frame:{frame_idx}".encode(), meta)
+
+
+def sample_frame_features(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_decoder: Callable[[bytes, dict, int], list[float]] = stub_decode_frame,
+) -> DataFrame:
+    """Frame sampling + per-frame features for video payloads.
+
+    Scale-deciding plumbing choice: the binary payload is NOT exploded
+    n_frames times — each video row crosses the Arrow boundary ONCE and
+    the kernel emits one output row per sampled frame (a real decoder
+    opens the container once and seeks per frame, so fan-out inside the
+    kernel is also the natural codec shape).  Output rows are narrow
+    (id, kind, frame_idx, features); only they flow downstream.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, fidx, feats = [], [], [], []
+            for mid, kind, d, m in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                for i in range(n_frames):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    fidx.append(i)
+                    feats.append(
+                        frame_decoder(bytes(d), m, i) if d is not None else None
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "frame_idx": fidx,
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def resize_plan(
+    df: DataFrame, max_side: int, meta_col: str = "meta"
+) -> DataFrame:
+    """Aspect-preserving resize PLANNING — pure Catalyst, no codec:
+    adds target_width/target_height/resize_scale columns (scale capped
+    at 1.0: never upscale).  The actual pixel resample belongs in the
+    decode kernel; computing the geometry declaratively keeps it out of
+    Python and lets Catalyst prune/pushdown around it."""
+    w = F.col(f"{meta_col}.width").cast("double")
+    h = F.col(f"{meta_col}.height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    return df.select(
+        "*",
+        F.round(scale, 6).alias("resize_scale"),
+        F.floor(w * scale).cast("int").alias("target_width"),
+        F.floor(h * scale).cast("int").alias("target_height"),
+    )
