@@ -416,6 +416,11 @@ def chunked_asof_join(
     # chunk time spans per entity: [first_us, next chunk's first_us)
     bounds = l.groupBy(by, "__chunk").agg(F.min(ts_us(on)).alias("__start_us"))
     wb = Window.partitionBy(by).orderBy("__chunk")
+    # deliberately persisted: TINY (one row per (entity, chunk)) with
+    # three consumers (routing, boundary halo, phase-2 chunk list) that
+    # would each re-aggregate the full left side without the barrier.
+    # Cache residency is n_chunks rows — bounded by data/chunk_rows —
+    # not a data-sized leak.
     spans = bounds.withColumn(
         "__end_us", F.lead("__start_us").over(wb)
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -481,9 +486,13 @@ def chunked_asof_join(
         .orderBy(ts_us(on), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.withColumn("__local", F.last("__rv", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # single consumer (the fills join below) — no persist: caching the
+    # full left side here leaked blocks for the session lifetime and
+    # bought nothing (r3 cleanup; the r2 persist predated the fills
+    # join being the only reader)
+    carried = u.withColumn(
+        "__local", F.last("__rv", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
 
     # phase 2: per-chunk last right value, prefix-LOCF across chunks
     chunk_last = routed.groupBy(by, "__chunk").agg(
