@@ -1289,6 +1289,33 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_rolling_multi(spark, sf_dir):
+    """Multi-horizon rolling features fused into one pass: two row
+    frames and two range frames, all riding a single conv_id exchange
+    and two sorts (plan flatness pinned in pytest)."""
+    from radarpipeline_spark.operators.rolling import rolling_features_multi
+
+    df = rolling_features_multi(
+        lag_lead_features(_transcripts(spark, sf_dir)),
+        last_ks=[3, 10],
+        range_windows=[60, 300],
+    )
+    return _round6(
+        df.select(
+            "conv_id", "turn_idx",
+            "turns_last_3", "tool_rate_last_3",
+            "turns_last_10", "tool_rate_last_10",
+            "latency_mean_60s", "latency_std_60s",
+            "latency_min_60s", "latency_max_60s",
+            "latency_mean_300s", "latency_std_300s",
+            "latency_min_300s", "latency_max_300s",
+        ),
+        "tool_rate_last_3", "tool_rate_last_10",
+        "latency_min_60s", "latency_max_60s",
+        "latency_min_300s", "latency_max_300s",
+    )
+
+
 def q_curation(spark, sf_dir):
     """The composed LLM-curation sweep as ONE lazy plan: token-count +
     quality + language filters (scan-stage projections), exact dedup
@@ -1327,6 +1354,7 @@ def queries():  # noqa: F811
     q["doc_sample_stratified"] = q_doc_sample_stratified
     q["feature_vector_routed"] = q_feature_vector_routed
     q["curation"] = q_curation
+    q["rolling_multi"] = q_rolling_multi
     q["media_frames"] = q_media_frames
     q["dedup_clusters"] = q_dedup_clusters
     q["events_rollup"] = q_events_rollup
@@ -1382,6 +1410,49 @@ WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
     # the driver offers (chunk halos, offsets, and the union must all
     # reproduce the unchunked values to the last ulp)
     o["feature_vector_routed"] = o["feature_vector"]
+
+    def _ms(d):
+        """Per-Δ exact-integer mean/std twin over window wt{d}."""
+        w = f"wt{d}"
+        return f"""
+         round(CAST(sum(lat_us) OVER {w} AS DOUBLE)
+               / CAST(count(lat_us) OVER {w} AS DOUBLE), 0) / 1000000.0
+             AS latency_mean_{d}s,
+         CASE WHEN count(lat_us) OVER {w} >= 2 THEN
+           round(sqrt(CAST(CAST(count(lat_us) OVER {w} AS HUGEINT)
+                           * sum(CAST(lat_us AS HUGEINT) * lat_us) OVER {w}
+                           - sum(lat_us) OVER {w} * sum(lat_us) OVER {w}
+                           AS DOUBLE)
+                      / CAST(count(lat_us) OVER {w}
+                             * (count(lat_us) OVER {w} - 1) AS DOUBLE)), 0)
+                 / 1000000.0
+         END AS latency_std_{d}s"""
+
+    o["rolling_multi"] = f"""{_T}, {_LL_CTE}
+  SELECT conv_id, turn_idx,
+         count(*) OVER wr3 AS turns_last_3,
+         round(avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               OVER wr3, 6) AS tool_rate_last_3,
+         count(*) OVER wr10 AS turns_last_10,
+         round(avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               OVER wr10, 6) AS tool_rate_last_10,
+         {_ms(60)},
+         round(min(lat) OVER wt60, 6) AS latency_min_60s,
+         round(max(lat) OVER wt60, 6) AS latency_max_60s,
+         {_ms(300)},
+         round(min(lat) OVER wt300, 6) AS latency_min_300s,
+         round(max(lat) OVER wt300, 6) AS latency_max_300s
+  FROM ll
+  WINDOW
+    wr3 AS (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    wr10 AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+    wt60 AS (PARTITION BY conv_id ORDER BY us
+             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW),
+    wt300 AS (PARTITION BY conv_id ORDER BY us
+              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+"""
     # per-frame twin of the media_features replay: payload chars +
     # ':frame:<i>' through the identical FNV-1a fold
     o["media_frames"] = """

@@ -321,3 +321,110 @@ def prefix_lat_stats(
     return df.select(
         *in_cols, mean_s.alias(out_mean), std_s.alias(out_std)
     )
+
+
+def rolling_features_multi(
+    df: DataFrame,
+    last_ks=(10,),
+    range_windows=(300,),
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    latency_col: str = "inter_turn_latency_s",
+    strategy: str = "sliding",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Multi-horizon rolling features fused into ONE pass.
+
+    Output columns: ``turns_last_{k}``/``tool_rate_last_{k}`` per k in
+    ``last_ks`` and ``latency_{mean,std,min,max}_{Δ}s`` per Δ in
+    ``range_windows`` — identical values to calling
+    :func:`rolling_features` once per horizon (pinned by tests), but
+    the plan stays ONE exchange and TWO sorts however many horizons
+    are requested: every row frame shares the (entity, order) sort in
+    one Window node, every range frame shares the (entity, ts) sort in
+    the next (Spark's Window operator holds many frames per node, and
+    CollapseWindow merges same-spec chains), and the deterministic
+    integer-µs limbs are projected once and reused by every Δ.
+    """
+    is_tool = F.when(F.col(tool_col).isNotNull(), 1.0).otherwise(0.0)
+    lat = F.col(latency_col)
+    out_cols = df.columns
+
+    # ---- all row frames: one select, one Window node ----------------
+    row_exprs = []
+    for k in last_ks:
+        rf = (
+            Window.partitionBy(entity_col)
+            .orderBy(order_col)
+            .rowsBetween(-(k - 1), Window.currentRow)
+        )
+        row_exprs += [
+            F.count("*").over(rf).cast("long").alias(f"turns_last_{k}"),
+            F.avg(is_tool).over(rf).alias(f"tool_rate_last_{k}"),
+        ]
+    df = df.select(*out_cols, *row_exprs)
+    row_names = [e for k in last_ks
+                 for e in (f"turns_last_{k}", f"tool_rate_last_{k}")]
+
+    # ---- all range frames: shared (entity, ts) sort -----------------
+    stat_names = []
+    if strategy == "prefix":
+        for d in range_windows:
+            mm = df.select(
+                "*",
+                F.min(lat).over(_time_frame(entity_col, ts_col, d))
+                .alias(f"latency_min_{d}s"),
+                F.max(lat).over(_time_frame(entity_col, ts_col, d))
+                .alias(f"latency_max_{d}s"),
+            )
+            df = prefix_lat_stats(
+                mm, [entity_col], ts_col, latency_col, d,
+                f"latency_mean_{d}s", f"latency_std_{d}s",
+                deterministic=deterministic,
+            )
+            stat_names += [f"latency_{s}_{d}s" for s in
+                           ("mean", "std", "min", "max")]
+    else:
+        prep_cols: list = []
+        range_exprs = []
+        for d in range_windows:
+            tf = _time_frame(entity_col, ts_col, d)
+            if deterministic:
+                if not prep_cols:
+                    prep_cols, _, _ = deterministic_lat_stats(latency_col, tf)
+                # rebuild mean/std over THIS frame, reusing the one
+                # projected limb set
+                lu = F.col("__lat_us")
+                mean_s, std_s = finish_lat_stats(
+                    F.count(lu).over(tf),
+                    F.sum(lu).over(tf),
+                    F.sum("__lat_c2").over(tf),
+                    F.sum("__lat_c1").over(tf),
+                    F.sum("__lat_c0").over(tf),
+                )
+            else:
+                mean_s = F.avg(lat).over(tf)
+                std_s = F.stddev_samp(lat).over(tf)
+            range_exprs += [
+                mean_s.alias(f"latency_mean_{d}s"),
+                std_s.alias(f"latency_std_{d}s"),
+                F.min(lat).over(tf).alias(f"latency_min_{d}s"),
+                F.max(lat).over(tf).alias(f"latency_max_{d}s"),
+            ]
+            stat_names += [f"latency_{s}_{d}s" for s in
+                           ("mean", "std", "min", "max")]
+        keep = df.columns
+        if prep_cols:
+            df = df.select(*keep, *prep_cols)
+        df = df.select(*keep, *range_exprs)
+    return df.select(*out_cols, *row_names, *stat_names)
+
+
+def _time_frame(entity_col: str, ts_col: str, range_seconds: int):
+    return (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_us(ts_col))
+        .rangeBetween(-range_seconds * MICROS, Window.currentRow)
+    )

@@ -60,11 +60,25 @@ class FeaturePlan:
             if self.lag_lead or self.rolling_last_k:
                 df = lag_lead_features(df)
             if self.rolling_last_k:
-                df = rolling_features(
-                    df,
-                    last_k=self.rolling_last_k,
-                    range_seconds=self.rolling_range_seconds or 300,
-                )
+                ks = self.rolling_last_k
+                ds = self.rolling_range_seconds or 300
+                if isinstance(ks, (list, tuple)) or isinstance(ds, (list, tuple)):
+                    # multi-horizon: every row frame shares one Window
+                    # node, every range frame the next — still ONE
+                    # exchange and two sorts however many horizons
+                    from radarpipeline_spark.operators.rolling import (
+                        rolling_features_multi,
+                    )
+
+                    df = rolling_features_multi(
+                        df,
+                        last_ks=ks if isinstance(ks, (list, tuple)) else [ks],
+                        range_windows=(
+                            ds if isinstance(ds, (list, tuple)) else [ds]
+                        ),
+                    )
+                else:
+                    df = rolling_features(df, last_k=ks, range_seconds=ds)
         if self.asof_aux is not None:
             df = asof_join(df, self.asof_aux)
         for name, col in self.extra_exprs.items():

@@ -133,3 +133,38 @@ def aligned_pdf(df):
         df.toPandas()
         .sort_values(["conv_id", "turn_idx"], ignore_index=True)
     )
+
+
+def test_rolling_multi_horizon_fused(spark, tiny):
+    """Multi-horizon rolling: values identical to one rolling_features
+    call per horizon, in ONE exchange and (for sliding) two sorts
+    regardless of horizon count."""
+    from radarpipeline_spark.operators.rolling import rolling_features_multi
+    from radarpipeline_spark.plans.builder import plan_shape
+
+    base = lag_lead_features(tiny)
+    for strat in ("sliding", "prefix"):
+        multi = rolling_features_multi(
+            base, last_ks=[5, 10], range_windows=[60, 300], strategy=strat
+        )
+        chain = rolling_features(
+            rolling_features(base, 5, 60, strategy=strat),
+            10, 300, strategy=strat,
+        )
+        mcols = [c for c in multi.columns if c.startswith(("turns", "tool_r", "latency_"))
+                 and c != "inter_turn_latency_s"]
+        a = multi.toPandas().sort_values("turn_idx", ignore_index=True)
+        b = chain.toPandas().sort_values("turn_idx", ignore_index=True)
+        for c in mcols:
+            assert a[c].astype(str).tolist() == b[c].astype(str).tolist(), (strat, c)
+    # plan cost must be FLAT in horizon count: same exchange and sort
+    # counts for one horizon and for three
+    one = plan_shape(
+        rolling_features_multi(base, last_ks=[10], range_windows=[300])
+    )
+    three = plan_shape(
+        rolling_features_multi(base, last_ks=[5, 10, 50],
+                               range_windows=[60, 300, 3600])
+    )
+    assert three["exchanges"] == one["exchanges"] == 1, (one, three)
+    assert three["sorts"] == one["sorts"], (one, three)
