@@ -1289,6 +1289,23 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_asof_backfill_chunked(spark, sf_dir):
+    """The CHUNKED as-of join (the 10^8-turn-conversation escape hatch)
+    graded against the plain as-of query's IDENTICAL SQL: right rows
+    routed to (entity, chunk) spans, in-chunk LOCF, per-chunk summary
+    prefix-fill — all of it must reproduce the unchunked carry to the
+    last ulp.  chunk_rows=16 forces real multi-chunk conversations at
+    every test SF."""
+    from radarpipeline_spark.operators.skew import chunked_asof_join
+
+    df = chunked_asof_join(
+        _transcripts(spark, sf_dir).localCheckpoint(),
+        _aux(spark, sf_dir),
+        chunk_rows=16,
+    ).select("conv_id", "turn_idx", "ts", "asof_aux_value")
+    return _round6(df, "asof_aux_value")
+
+
 def q_rolling_multi(spark, sf_dir):
     """Multi-horizon rolling features fused into one pass: two row
     frames and two range frames, all riding a single conv_id exchange
@@ -1354,6 +1371,7 @@ def queries():  # noqa: F811
     q["doc_sample_stratified"] = q_doc_sample_stratified
     q["feature_vector_routed"] = q_feature_vector_routed
     q["curation"] = q_curation
+    q["asof_backfill_chunked"] = q_asof_backfill_chunked
     q["rolling_multi"] = q_rolling_multi
     q["media_frames"] = q_media_frames
     q["dedup_clusters"] = q_dedup_clusters
@@ -1410,6 +1428,9 @@ WHERE ('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
     # the driver offers (chunk halos, offsets, and the union must all
     # reproduce the unchunked values to the last ulp)
     o["feature_vector_routed"] = o["feature_vector"]
+    # chunked as-of: bit-identical to plain by construction -> graded
+    # against the plain query's identical SQL
+    o["asof_backfill_chunked"] = o["asof_backfill"]
 
     def _ms(d):
         """Per-Δ exact-integer mean/std twin over window wt{d}."""
