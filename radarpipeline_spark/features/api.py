@@ -109,28 +109,64 @@ def discover_feature_groups(location: str) -> List[FeatureGroup]:
     which sys.modules short-circuits when the basename collides with an
     already-imported module (a plugin file named ``features.py`` would
     silently scan the wrong module).
+
+    The private name is STABLE (md5 of the abspath, not the
+    PYTHONHASHSEED-dependent ``hash()``) and the module is registered
+    in ``sys.modules`` BEFORE exec: package-dir plugins whose
+    ``__init__.py`` does relative/submodule imports need their parent
+    package resolvable by name, and classes defined in the plugin can
+    then pickle by reference.  Re-discovering the same path re-executes
+    from disk (plugin files legitimately change between discoveries —
+    the git fetch path re-resolves updated branches), purging the old
+    module AND its submodules first so a package update can't load a
+    stale submodule out of sys.modules; the stable name means pickle
+    always resolves to the latest definition.
     """
+    import hashlib
     import importlib
     import importlib.util
     import inspect
     import os
+    import sys
 
     looks_like_path = (
         os.path.sep in location or location.endswith(".py") or os.path.isdir(location)
     )
     if looks_like_path:
         path = location.rstrip("/")
+        is_pkg = False
         if os.path.isdir(path):
             path = os.path.join(path, "__init__.py")
+            is_pkg = True
+        elif os.path.basename(path) == "__init__.py":
+            is_pkg = True
         elif not path.endswith(".py"):
             path = path + ".py"
         base = os.path.basename(os.path.dirname(path) if path.endswith("__init__.py") else path[:-3])
-        mod_name = f"_radarpipeline_plugin_{base.replace('-', '_')}_{abs(hash(os.path.abspath(path))) & 0xFFFFFF:x}"
-        spec = importlib.util.spec_from_file_location(mod_name, path)
+        abspath = os.path.abspath(path)
+        suffix = hashlib.md5(abspath.encode()).hexdigest()[:8]
+        mod_name = f"_radarpipeline_plugin_{base.replace('-', '_')}_{suffix}"
+        for stale in [
+            m for m in sys.modules
+            if m == mod_name or m.startswith(mod_name + ".")
+        ]:
+            del sys.modules[stale]
+        spec = importlib.util.spec_from_file_location(
+            mod_name,
+            path,
+            submodule_search_locations=(
+                [os.path.dirname(abspath)] if is_pkg else None
+            ),
+        )
         if spec is None or spec.loader is None:
             raise ValueError(f"cannot load plugin module from: {location}")
         module = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(module)
+        sys.modules[mod_name] = module
+        try:
+            spec.loader.exec_module(module)
+        except BaseException:
+            sys.modules.pop(mod_name, None)
+            raise
     else:
         module = importlib.import_module(location)
 

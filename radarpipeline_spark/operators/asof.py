@@ -107,6 +107,13 @@ def asof_join_pandas(
     ``n_buckets=None`` restores per-entity grouping.  A single giant
     conversation still lands in one bucket either way — that skew is
     ``chunked_asof_join``'s job.
+
+    NULL ``by`` keys: the per-entity cogroup treats NULL as one
+    ordinary entity (Spark groupBy puts all NULL keys in one group and
+    merge_asof without ``by=`` matches them), but ``pd.merge_asof(by=)``
+    never matches NaN keys — so bucketing routes NULL-key rows to a
+    DEDICATED bucket merged WITHOUT ``by=``, preserving the per-entity
+    semantics exactly (pytest-pinned).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
@@ -143,7 +150,10 @@ def asof_join_pandas(
                 lpdf[f"{prefix}{c}"] = None
             return lpdf[[*left_cols, *[f"{prefix}{c}" for c in vcols]]]
         rpdf = rpdf.rename(columns={"__asof_on": on})
-        rcols = ([by] if bucketed else []) + [on] + [
+        # the NULL-key bucket holds rows of ONE entity (the NULL one):
+        # merge without by=, as the per-entity path would
+        use_by = bucketed and not lpdf[by].isna().all()
+        rcols = ([by] if use_by else []) + [on] + [
             f"{prefix}{c}" for c in vcols
         ]
         rpdf = rpdf[rcols].sort_values(on, kind="mergesort")
@@ -151,7 +161,7 @@ def asof_join_pandas(
             lpdf,
             rpdf,
             on=on,
-            by=by if bucketed else None,
+            by=by if use_by else None,
             direction=direction,
             tolerance=tol,
             allow_exact_matches=allow_exact_matches,
@@ -159,7 +169,13 @@ def asof_join_pandas(
         return merged[[*left_cols, *[f"{prefix}{c}" for c in vcols]]]
 
     if bucketed:
-        bucket = F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets))
+        # NULL keys get their own bucket (id = n_buckets, outside the
+        # pmod range) so the kernel can detect and merge them without
+        # by= — xxhash64(NULL) would otherwise silently route them into
+        # a normal bucket where merge_asof(by=) never matches NaN keys
+        bucket = F.when(
+            F.col(by).isNull(), F.lit(n_buckets).cast("bigint")
+        ).otherwise(F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
         return (
             left.groupBy(bucket.alias("__b"))
             .cogroup(right.groupBy(bucket.alias("__b")))

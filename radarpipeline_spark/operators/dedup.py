@@ -163,11 +163,17 @@ def lsh_candidate_pairs(
     )
     # band_sigs feeds both sides of the self-join; without a
     # materialization barrier the whole minhash chain (shingle explode
-    # x hash fan-out) recomputes twice.  The persisted table is tiny:
-    # n_docs x bands rows of three scalars.
-    from pyspark import StorageLevel
-
-    band_sigs = band_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # x hash fan-out) recomputes twice.  The barrier is a LAZY
+    # localCheckpoint, not persist(): persist() registers in the
+    # CacheManager, which holds the blocks for the SESSION lifetime
+    # (the function returns a lazy DataFrame, so it can never unpersist
+    # its own input — repeated dedup calls accumulated blocks forever).
+    # localCheckpoint blocks (MEMORY_AND_DISK under the hood) belong to
+    # the RDD and are freed by the ContextCleaner once the caller drops
+    # the returned DataFrame.  Tradeoff: lineage is truncated, so a
+    # lost executor fails the query instead of recomputing — acceptable
+    # for a barrier this small (n_docs x bands rows of three scalars).
+    band_sigs = band_sigs.localCheckpoint(eager=False)
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -202,12 +208,21 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh"),
     ).select(id_col, h60("sh").alias("shash"))
-    # sh feeds sizes + both self-join sides: persist or pay the shingle
-    # explode three times (docs x shingles rows of two scalars).
-    from pyspark import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    # sh feeds the df-cap filter + both self-join sides.  Barrier is a
+    # lazy localCheckpoint (see lsh_candidate_pairs for the rationale):
+    # this intermediate is CORPUS-SIZED (docs x shingles rows), exactly
+    # the block set that must NOT outlive the query — CacheManager
+    # persist() kept it for the session lifetime; checkpoint blocks are
+    # ContextCleaner-freed when the caller drops the result.
+    sh = sh.localCheckpoint(eager=False)
+    # |A| per doc straight from the source rows — no dependence on the
+    # exploded frame (one consumer fewer on the barrier)
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(text_col, shingle_len)))
+        .cast("long")
+        .alias("sz"),
+    )
     joinable = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shash").agg(F.count("*").alias("df"))

@@ -52,13 +52,17 @@ def group_quantiles(
     probs: Sequence[float] = (0.25, 0.5, 0.75),
     out_cols: Sequence[str] | None = None,
     buffer_threshold: int = 1 << 16,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Exact interpolated per-group quantiles of ``value_col``.
 
     Returns one row per group: ``group_cols + [n] + out_cols`` (default
-    ``q_25 .. q_75``).  NULL values are excluded (both engines agree on
-    that); a group with zero non-NULL values is dropped, matching the
-    ``percentile`` aggregate.
+    ``q_25 .. q_75``).  NULL values are excluded from the quantiles
+    (both engines agree on that), but a group whose values are ALL NULL
+    is still emitted, with ``n = 0`` and NULL quantiles — matching both
+    the plain ``percentile`` groupBy aggregate and the SQL
+    ``quantile_cont`` twin (a single-turn conversation has one all-NULL
+    latency row and must not vanish from the output).
 
     ``buffer_threshold`` is the routing cut: the largest group size the
     in-memory ``percentile`` buffer is allowed to hold.  The default
@@ -66,6 +70,15 @@ def group_quantiles(
     whole-executor worst case (thousands of concurrent group buffers)
     in normal heap territory; anything bigger takes the spillable
     rank path.
+
+    ``broadcast_counts`` (default True) broadcasts the per-group count
+    table into the routing join: counts is one short row per group, so
+    at any realistic group cardinality (millions) the broadcast is a
+    few MB and the big side never shuffles for the join — the
+    alternative is a sort-merge join that sorts the full input twice
+    (once per routing branch; measured ~1.3x the whole query).  Set
+    False only at extreme group cardinality (10^8+ groups), where the
+    counts table itself stops being broadcastable.
     """
     gcols = list(group_cols)
     out_cols = list(
@@ -75,14 +88,11 @@ def group_quantiles(
     )
     v = F.col(value_col)
 
-    counts = (
-        df.filter(v.isNotNull())
-        .groupBy(*gcols)
-        .agg(F.count(value_col).alias("n"))
-    )
-    # Routing join: groupBy(group) and the window both hash-shuffle on
-    # the SAME keys, so the join is co-partitioned — no extra exchange
-    # beyond the one the aggregation itself needs.
+    # count(value_col) counts non-NULL values only, but the groupBy
+    # keys keep EVERY group — all-NULL groups arrive with n = 0.
+    counts = df.groupBy(*gcols).agg(F.count(value_col).alias("n"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
     routed = df.join(counts, on=gcols)
 
     small = routed.filter(F.col("n") <= buffer_threshold)

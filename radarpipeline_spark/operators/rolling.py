@@ -163,7 +163,12 @@ def rolling_features(
         df = df.select(*df.columns, *prep_cols)  # limbs: once per row
     else:
         mean_s = F.avg(lat).over(time_frame)
-        std_s = F.stddev_samp(lat).over(time_frame)
+        # stddev_samp yields NaN for n=1 frames where the prefix fast
+        # path yields NULL — coalesce NaN -> NULL so both strategies
+        # stay value-identical (and isNull/isnan filters agree)
+        std_s = F.nanvl(
+            F.stddev_samp(lat).over(time_frame), F.lit(None).cast("double")
+        )
     # ONE select: expressions sharing a window spec land in the same
     # physical Window node (interleaved withColumn Projects would block
     # Spark's CollapseWindow rule and cost one Sort per feature).
@@ -406,7 +411,10 @@ def rolling_features_multi(
                 )
             else:
                 mean_s = F.avg(lat).over(tf)
-                std_s = F.stddev_samp(lat).over(tf)
+                # NaN (n=1) -> NULL: keep parity with the prefix path
+                std_s = F.nanvl(
+                    F.stddev_samp(lat).over(tf), F.lit(None).cast("double")
+                )
             range_exprs += [
                 mean_s.alias(f"latency_mean_{d}s"),
                 std_s.alias(f"latency_std_{d}s"),

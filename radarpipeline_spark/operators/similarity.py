@@ -215,18 +215,29 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_planes: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    allow_exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     variant): all (a < b) pairs with cosine >= threshold.
 
-    n_planes=0 -> exact all-pairs (the correctness baseline; fine for
-    broadcastable corpora).  n_planes>0 -> LSH-bucketed: only pairs
+    The DEFAULT is the LSH-bucketed path (n_planes=4): only pairs
     sharing a hyperplane bucket are compared — the linear-ish scale
-    path, at some recall cost near the threshold.
+    path, at some recall cost near the threshold.  n_planes=0 is the
+    exact all-pairs baseline, an O(n^2) cartesian join that is only
+    sane on small/broadcastable corpora — it therefore requires an
+    explicit ``allow_exact=True`` opt-in so nobody runs a quadratic
+    join on a real corpus by calling with defaults (VERDICT r3 #4).
     """
+    if n_planes == 0 and not allow_exact:
+        raise ValueError(
+            "n_planes=0 requests the exact all-pairs (cartesian) "
+            "comparison — O(n^2) in corpus size.  Pass allow_exact=True "
+            "to confirm the corpus is small enough, or use the default "
+            "bucketed path (n_planes>0)."
+        )
     if n_planes and dim is None:
         dim = _sniff_dim(corpus, vec_col)
     # norms hoisted to one-per-row: recomputing them per PAIR turns an
@@ -294,6 +305,7 @@ def ivf_index(
     seed: int = 42,
     dim: int | None = None,
     keep_vec: bool = False,
+    literal_plan_cells: int = 16_384,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: deterministic seeded k-means.
     ``keep_vec=True`` returns assignments as (cid, v, vn, list_id) so a
@@ -323,6 +335,16 @@ def ivf_index(
     * Per-row corpus norms are hoisted (computed once, not once per
       centroid); centroid norms are computed on the driver with the
       same left-fold float sequence as the engines'.
+    * **Plan-size ceiling** (VERDICT r3 #3): the literal-embedded
+      assignment grows the SQL plan O(n_lists x dim); above
+      ``literal_plan_cells`` cells (default 16k ≈ a few hundred KB of
+      plan text) assignment switches to a BROADCAST form — the
+      centroid array ships as ONE broadcast row (data, not plan text)
+      cross-joined in, and nearest-centroid is the same argmax over
+      ``transform(centroid_array, ...)``.  Bit-identical outputs (the
+      per-pair float expression is the same left fold; pytest-pinned),
+      so production index sizes (n_lists=4096, dim=1024 -> ~50 MB of
+      SQL per iteration under literals) never bottleneck the driver.
     """
     from pyspark import StorageLevel
 
@@ -356,7 +378,7 @@ def ivf_index(
         for i, r in enumerate(sorted(init_rows, key=lambda r: r["__r"]))
     ]
 
-    def assign(cent) -> DataFrame:
+    def assign_literal(cent) -> DataFrame:
         """cid, v, list_id — nearest centroid by cosine, ties to the
         smallest list_id; one projection, no joins or windows."""
         # The dot against each literal centroid is built as ONE SQL
@@ -391,6 +413,53 @@ def ivf_index(
         return c.select(
             "cid", "v", "vn", (-best.getField("nl")).cast("int").alias("list_id")
         )
+
+    def assign_broadcast(cent) -> DataFrame:
+        """Same argmax, centroids shipped as ONE broadcast row of
+        array<struct<list_id, cvec, cnorm>> instead of plan-text
+        literals: plan size O(1) in n_lists x dim, data volume
+        n_lists x dim doubles over the broadcast channel.  The per-pair
+        expression is the identical zip_with/aggregate left fold (cvec
+        components and cnorm are the same doubles the literal path
+        embeds), so assignments are bit-equal — pinned by
+        test_ivf_broadcast_assignment_matches_literal."""
+        cdf1 = spark.createDataFrame(
+            [([(lid, vec, _py_norm(vec)) for lid, vec in cent],)],
+            "cents array<struct<list_id:int,cvec:array<double>,cnorm:double>>",
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    (
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                s["cvec"],
+                                lambda x, w: x.cast("double") * w,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("vn") * s["cnorm"])
+                    ).alias("s"),
+                    (-s["list_id"]).alias("nl"),
+                ),
+            )
+        )
+        return (
+            c.join(F.broadcast(cdf1))
+            .select(
+                "cid", "v", "vn",
+                (-best.getField("nl")).cast("int").alias("list_id"),
+            )
+        )
+
+    assign = (
+        assign_literal
+        if n_lists * dim <= literal_plan_cells
+        else assign_broadcast
+    )
 
     for _ in range(iters):
         sums = (

@@ -178,16 +178,29 @@ def chunked_feature_vector(
     #  +1: the suffix of chunk c-1 the next chunk's frames reach
     #      (always >= 1 row, so every first-of-chunk real row has its
     #      lag predecessor in-partition), latency carried as a value;
-    #  -1: the first row of chunk c+1, for next_ts/lead of the chunk's
-    #      last real row.
+    #  -1: the LEADING TIMESTAMP-TIE GROUP of chunk c+1 (every row
+    #      sharing the chunk's first timestamp, not just the first
+    #      row): range frames' CURRENT ROW upper bound includes all
+    #      ts-peers, so a chunk-c row tied with the boundary must see
+    #      every tied chunk-c+1 row or its latency min/max/mean/std
+    #      diverge from the plain plan.  lead/next_ts of the last real
+    #      row still picks the first halo row (ordered by turn_idx).
     # (__next_first_us null <=> no next chunk exists -> no +1 halo)
     suffix_cond = F.col("__next_first_us").isNotNull() & (
         (F.col(order_col) % C >= C - max(k - 1, 1))
         | (ts_us(ts_col) >= F.col("__next_first_us") - d * MICROS)
     )
-    fwd_cond = (F.col(order_col) % C == 0) & (F.col("__chunk") > 0)
+    own = bounds.select(
+        F.col(entity_col),
+        F.col("__chunk"),
+        F.col("__first_us").alias("__own_first_us"),
+    )
+    fwd_cond = (F.col("__chunk") > 0) & (
+        ts_us(ts_col) == F.col("__own_first_us")
+    )
     halos = (
         nflags.join(F.broadcast(nxt), on=[entity_col, "__chunk"], how="left")
+        .join(F.broadcast(own), on=[entity_col, "__chunk"], how="left")
         .select(
             "*",
             F.explode(
@@ -201,7 +214,7 @@ def chunked_feature_vector(
             ).alias("__dchunk"),
         )
         .withColumn("__chunk", F.col("__chunk") + F.col("__dchunk"))
-        .drop("__next_first_us", "__nh", "__flag", "__dchunk")
+        .drop("__next_first_us", "__own_first_us", "__nh", "__flag", "__dchunk")
     )
 
     # ---- main pass: ONE exchange on (entity, chunk) ------------------

@@ -116,3 +116,36 @@ def test_multi_column_rowwise_atomicity(spark):
         row = impl(left, right).collect()[0]
         assert row["asof_x"] == 2.0, impl.__name__
         assert row["asof_y"] is None, impl.__name__  # NOT "full"
+
+
+def test_pandas_bucketed_null_keys_match_per_entity(spark):
+    """ADVICE r3: pd.merge_asof(by=) never matches NaN keys, so the
+    bucketed default used to give NULL-conv_id rows NULL backfills
+    while the per-entity path matched them as one entity.  NULL keys
+    now route to a dedicated bucket merged WITHOUT by= — bucketed and
+    per-entity outputs must agree, including the NULL entity."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [("a", 0, t0 + 10 * sec), (None, 0, t0 + 10 * sec),
+         (None, 1, t0 + 30 * sec), ("b", 0, t0 + 5 * sec)],
+        "conv_id string, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("a", t0 + 1 * sec, 1.0), (None, t0 + 2 * sec, 7.0),
+         (None, t0 + 20 * sec, 8.0)],
+        "conv_id string, ts timestamp_ntz, aux_value double",
+    )
+    key = lambda df: sorted(  # noqa: E731
+        ((r["conv_id"], r["turn_idx"], r["asof_aux_value"])
+         for r in df.collect()),
+        key=repr,
+    )
+    bucketed = key(asof_join_pandas(left, right, n_buckets=4))
+    per_entity = key(asof_join_pandas(left, right, n_buckets=None))
+    assert bucketed == per_entity
+    got = {(c, t): v for c, t, v in bucketed}
+    assert got[(None, 0)] == 7.0 and got[(None, 1)] == 8.0
+    assert got[("a", 0)] == 1.0 and got[("b", 0)] is None

@@ -274,6 +274,48 @@ def test_plugin_discovery_survives_basename_collision(tmp_path):
     assert sys.modules["json"] is _json
 
 
+def test_plugin_discovery_package_dir_relative_imports(tmp_path):
+    """ADVICE r3: package-dir plugins whose __init__.py does relative /
+    submodule imports need the module registered in sys.modules under a
+    STABLE name before exec — the old loader used a randomized
+    (PYTHONHASHSEED-dependent) suffix and never registered, so the
+    parent package was unresolvable and plugin classes could fail
+    pickle-by-reference."""
+    import sys
+
+    from radarpipeline_spark.features.api import discover_feature_groups
+
+    pkg = tmp_path / "my_pkg_plugin"
+    pkg.mkdir()
+    (pkg / "impl.py").write_text(
+        "from radarpipeline_spark.features.api import Feature, FeatureGroup\n"
+        "class F1(Feature):\n"
+        "    name = 'f1'\n"
+        "    required_input_data = []\n"
+        "    def calculate(self, data):\n"
+        "        return None\n"
+        "class PkgPlugin(FeatureGroup):\n"
+        "    name = 'pkg_plugin'\n"
+        "    features = [F1]\n"
+    )
+    (pkg / "__init__.py").write_text("from .impl import PkgPlugin, F1\n")
+    got = discover_feature_groups(str(pkg))
+    assert [g.name for g in got] == ["pkg_plugin"]
+    # registered under a stable private name; re-discovery reuses the
+    # module so class identity (and pickle-by-reference) stays stable
+    mods = [m for m in sys.modules if m.startswith("_radarpipeline_plugin_my_pkg_plugin_")]
+    # parent package AND its submodule both resolve by name (the
+    # relative import went through the normal finder via __path__)
+    assert len(mods) == 2 and any(m.endswith(".impl") for m in mods)
+    # the class resolves by reference through sys.modules (what pickle
+    # does); re-discovery re-executes from disk under the SAME stable
+    # name, so the name always points at the latest definition
+    again = discover_feature_groups(str(pkg))
+    cls = type(again[0])
+    assert cls.__module__ == type(got[0]).__module__
+    assert getattr(sys.modules[cls.__module__], cls.__name__) is cls
+
+
 class _FakeSftpClient:
     """In-process stand-in implementing the paramiko SFTPClient subset
     fetch_sftp_dataset uses (listdir_attr/get/close) over a local

@@ -128,6 +128,25 @@ def test_rolling_fast_path_allclose(spark, tiny):
             )
 
 
+def test_rolling_fast_path_strategies_value_identical(spark, tiny):
+    """ADVICE r3: in the deterministic=False fast path, sliding's
+    stddev_samp used to return NaN for n=1 frames where the prefix
+    strategy returns NULL — NaN is now coalesced to NULL so the two
+    strategies agree cell-for-cell on null-ness (session starts have
+    exactly one latency in frame, so every conversation hits this)."""
+    import pyspark.sql.functions as SF
+
+    base = lag_lead_features(tiny)
+    sl = rolling_features(base, strategy="sliding", deterministic=False)
+    pf = rolling_features(base, strategy="prefix", deterministic=False)
+    col = "latency_std_300s"
+    # NULL vs NaN must be checked Spark-side: toPandas maps both to NaN
+    assert sl.filter(SF.isnan(col)).count() == 0
+    n_null_sl = sl.filter(SF.col(col).isNull()).count()
+    n_null_pf = pf.filter(SF.col(col).isNull()).count()
+    assert n_null_sl == n_null_pf > 0  # the n=1 case genuinely occurs
+
+
 def aligned_pdf(df):
     return (
         df.toPandas()

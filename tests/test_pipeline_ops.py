@@ -189,7 +189,13 @@ def test_embedding_near_dup_bucketed_recall(spark):
         [(i, [float(x) for x in vecs[i]]) for i in range(80)],
         "vec_id long, embedding array<float>",
     )
-    exact = embedding_near_dup_pairs(emb, threshold=0.95)
+    # the cartesian baseline now requires explicit opt-in (scale-safe
+    # defaults, VERDICT r3 #4): calling with n_planes=0 alone raises
+    with pytest.raises(ValueError, match="allow_exact"):
+        embedding_near_dup_pairs(emb, threshold=0.95, n_planes=0)
+    exact = embedding_near_dup_pairs(
+        emb, threshold=0.95, n_planes=0, allow_exact=True
+    )
     lsh = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=4, dim=16)
     exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
     lsh_pairs_ = {(r.id_a, r.id_b) for r in lsh.collect()}
@@ -330,6 +336,129 @@ def test_group_quantiles_routes_big_groups_spillable(spark):
     # the big group really took the window path: plan shows row_number
     p = routed._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in p and "percentile" in p
+
+
+def test_group_quantiles_keeps_all_null_groups(spark):
+    """ADVICE r3 (medium): a group whose values are ALL NULL must not
+    vanish — the plain percentile groupBy aggregate (and the DuckDB
+    quantile_cont oracle) emits it with n=0 and NULL quantiles.  A
+    single-turn conversation is exactly such a group (its only latency
+    is NULL)."""
+    import pyspark.sql.functions as SF
+
+    from radarpipeline_spark.operators.quartiles import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 200), ("a", None), ("b", None), ("c", 5)],
+        "conv_id string, lat_us long",
+    )
+    out = {r["conv_id"]: r for r in
+           group_quantiles(df, "lat_us", ["conv_id"]).collect()}
+    assert set(out) == {"a", "b", "c"}              # "b" kept
+    assert out["b"]["n"] == 0 and out["b"]["q_25"] is None
+    assert out["a"]["n"] == 2 and out["a"]["q_5"] == 150.0
+    assert out["c"]["n"] == 1 and out["c"]["q_5"] == 5.0
+    # matches the plain percentile aggregate exactly (incl. the NULL group)
+    plain = {
+        r["conv_id"]: r
+        for r in df.groupBy("conv_id")
+        .agg(
+            SF.count("lat_us").alias("n"),
+            SF.expr("percentile(lat_us, 0.25)").alias("q_25"),
+            SF.expr("percentile(lat_us, 0.5)").alias("q_5"),
+            SF.expr("percentile(lat_us, 0.75)").alias("q_75"),
+        )
+        .collect()
+    }
+    for g in ("a", "b", "c"):
+        for c in ("n", "q_25", "q_5", "q_75"):
+            assert repr(out[g][c]) == repr(plain[g][c]), (g, c)
+    # ... and through the rank path too (threshold 0 sends every
+    # non-empty group through the spillable plan; n=0 groups still ride
+    # the percentile branch by construction)
+    ranked = {r["conv_id"]: r for r in
+              group_quantiles(df, "lat_us", ["conv_id"],
+                              buffer_threshold=0).collect()}
+    for g in ("a", "b", "c"):
+        for c in ("n", "q_25", "q_5", "q_75"):
+            assert repr(ranked[g][c]) == repr(plain[g][c]), (g, c)
+
+
+def _persistent_rdd_count(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _wait_blocks_released(spark, baseline, timeout_s=30):
+    """ContextCleaner frees checkpoint/persist blocks when their RDDs
+    are garbage-collected — force GC on both sides and poll."""
+    import gc
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if _persistent_rdd_count(spark) <= baseline:
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_dedup_queries_release_their_blocks(spark, docs):
+    """VERDICT r3 #1: lsh_candidate_pairs / ngram_jaccard_pairs /
+    dedup_clusters used to persist() corpus-sized intermediates into
+    the CacheManager with no unpersist path — blocks accumulated for
+    the session lifetime.  The barriers are now lazy localCheckpoints
+    whose blocks the ContextCleaner frees once the caller drops the
+    result: after each query completes and its DataFrame goes away,
+    the session's persistent-RDD set must return to baseline."""
+    from radarpipeline_spark.operators.dedup import dedup_clusters
+
+    baseline = _persistent_rdd_count(spark)
+    for build in (
+        lambda: lsh_candidate_pairs(docs, n_hashes=8, bands=4),
+        lambda: ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.1),
+        lambda: dedup_clusters(docs, threshold=0.2),
+    ):
+        out = build()
+        out.collect()
+        del out
+        assert _wait_blocks_released(spark, baseline), (
+            "dedup query left persistent RDD blocks behind"
+        )
+
+
+def test_ivf_broadcast_assignment_matches_literal(spark):
+    """VERDICT r3 #3: above the literal_plan_cells ceiling the IVF
+    assignment ships centroids as ONE broadcast row instead of plan
+    literals.  Both paths must be bit-identical (same left-fold float
+    expression per pair), and the broadcast plan must not embed the
+    centroid components as literals."""
+    import numpy as np
+
+    from radarpipeline_spark.operators.similarity import ivf_index
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(120, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    lit_a, lit_c = ivf_index(emb, n_lists=4, iters=2, dim=16)
+    bc_a, bc_c = ivf_index(
+        emb, n_lists=4, iters=2, dim=16, literal_plan_cells=0
+    )
+    assert sorted(map(tuple, lit_a.collect())) == sorted(map(tuple, bc_a.collect()))
+    assert [
+        (r["list_id"], [repr(x) for x in r["centroid"]], repr(r["cnorm"]))
+        for r in lit_c.orderBy("list_id").collect()
+    ] == [
+        (r["list_id"], [repr(x) for x in r["centroid"]], repr(r["cnorm"]))
+        for r in bc_c.orderBy("list_id").collect()
+    ]
+    # the broadcast assignment plan stays O(1) in index size
+    plan = bc_a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_curate_documents_stage_semantics(spark):

@@ -37,6 +37,38 @@ def test_chunked_tiny_chunks_still_exact(spark, tiny):
     assert chunked.exceptAll(plain).count() == 0
 
 
+def test_chunked_window_boundary_tie_group(spark):
+    """ADVICE r3: range frames' CURRENT ROW bound includes ALL ts-peers,
+    so a timestamp-tie group spanning a chunk boundary must ship the
+    whole leading tie group of the next chunk as the forward halo, not
+    just its first row — otherwise latency min/max/mean/std of the tied
+    boundary rows diverge from the plain plan."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # chunk_rows=4: turn 3 ends chunk 0; turns 4 AND 5 open chunk 1,
+    # all three at the same timestamp (30s)
+    secs = [0, 10, 20, 30, 30, 30, 40, 50]
+    df = spark.createDataFrame(
+        [
+            ("c", i, t0 + dt.timedelta(seconds=s),
+             "user" if i % 2 == 0 else "assistant",
+             "search" if i % 3 == 0 else None,
+             f"turn {i}")
+            for i, s in enumerate(secs)
+        ],
+        "conv_id string, turn_idx int, ts timestamp_ntz, role string,"
+        " tool string, text string",
+    )
+    plain = _normalize(feature_vector(df, last_k=3))
+    for strat in ("prefix", "sliding"):
+        chunked = _normalize(
+            chunked_feature_vector(df, chunk_rows=4, last_k=3, strategy=strat)
+        )
+        assert plain.exceptAll(chunked).count() == 0, strat
+        assert chunked.exceptAll(plain).count() == 0, strat
+
+
 def test_validate_flags_thin_chunks(spark, tiny):
     import pytest
 
