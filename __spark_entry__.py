@@ -1716,3 +1716,93 @@ def oracle_sql():  # noqa: F811
     o = _BASE_ORACLES5()
     o["ann_ivf"] = _ivf_oracle_sql(n_lists=8, n_probe=4, k=5, iters=3, dim=64)
     return o
+
+
+def q_sessionize_stream(spark, sf_dir):
+    """STREAMING sessionization graded by the batch oracle (VERDICT r3
+    #9): the transcripts table is re-delivered as a genuine multi-
+    micro-batch file stream (three turn_idx-ordered slices, one file
+    per micro-batch via maxFilesPerTrigger=1), run through the stateful
+    ``stream_sessionize`` operator (applyInPandasWithState — session
+    ids carried across batches in state), drained with an availableNow
+    trigger into a memory sink, and returned as a plain DataFrame.  The
+    oracle is the SAME SQL as the batch ``sessionize`` query, so the
+    driver hash-grades streaming state semantics end-to-end.
+
+    Slicing by global turn_idx thresholds preserves the operator's
+    per-conversation in-order-batches contract; distinct file mtimes
+    pin the source's (modTime-sorted) batch order deterministically."""
+    import os
+    import shutil
+    import tempfile
+
+    from radarpipeline_spark.streaming.stateful import stream_sessionize
+
+    _pin_tz(spark)
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    mx = t.agg(F.max("turn_idx")).collect()[0][0]
+    cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
+
+    root = tempfile.mkdtemp(prefix="sessionize_stream_")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    os.makedirs(src)
+    try:
+        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+            t.filter(
+                (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    p = os.path.join(src, f)
+                    if os.path.getmtime(p) > 1_000_000_000 + (i + 1):
+                        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        name = "sessionize_stream_sink"
+        spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+        q = (
+            stream_sessionize(
+                spark.readStream.schema(t.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        if n_batches < 2:
+            raise RuntimeError(
+                f"streaming run collapsed to {n_batches} micro-batch(es); "
+                "the multi-batch state-carry claim would be vacuous"
+            )
+        # materialize OFF the memory sink before the tmp dir vanishes
+        out = spark.createDataFrame(
+            spark.table(name).collect(),
+            spark.table(name).schema,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select("conv_id", "turn_idx", "ts", "session_id")
+
+
+_BASE_QUERIES8 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES8()
+    q["sessionize_stream"] = q_sessionize_stream
+    return q
+
+
+_BASE_ORACLES8 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES8()
+    # the streaming twin must reproduce the BATCH sessionizer exactly —
+    # same oracle SQL, same hash gate
+    o["sessionize_stream"] = o["sessionize"]
+    return o
