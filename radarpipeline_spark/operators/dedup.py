@@ -22,7 +22,7 @@ Scale notes (100TB design point):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 TOKEN_SPLIT = r"\s+"
 
@@ -138,10 +138,23 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_len: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding: docs agreeing on
     ALL rows of any band bucket together; pairs come from an equi-join
-    on (band, band_sig) — never an all-pairs comparison."""
+    on (band, band_sig) — never an all-pairs comparison.
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    docs before the self-join.  The corpus-scale bench exposed why this
+    matters: a boilerplate stratum (14% of docs opening with the same
+    phrase) drives SHORT docs' minhashes to the shared boilerplate
+    shingles, collapsing them into a handful of signature buckets —
+    the self-join then emits |bucket|^2/2 pairs (measured 2.77M
+    candidate pairs on a 100k-doc corpus, ~25k of them real).  A giant
+    bucket means "similar only by boilerplate", so capping trades
+    those spurious pairs for a bounded join — the same hot-key defense
+    as ``ngram_jaccard_pairs``'s document-frequency cap.  None (the
+    default) keeps every bucket."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_len)
     band_sigs = (
@@ -173,6 +186,13 @@ def lsh_candidate_pairs(
     # the returned DataFrame.  Tradeoff: lineage is truncated, so a
     # lost executor fails the query instead of recomputing — acceptable
     # for a barrier this small (n_docs x bands rows of three scalars).
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_sig")
+        band_sigs = (
+            band_sigs.withColumn("__bsz", F.count("*").over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     band_sigs = band_sigs.localCheckpoint(eager=False)
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "band_sig")
@@ -204,44 +224,59 @@ def ngram_jaccard_pairs(
     full union.  A lower bound only removes candidate pairs near the
     threshold — it never admits a false positive.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh"),
-    ).select(id_col, h60("sh").alias("shash"))
-    # sh feeds the df-cap filter + both self-join sides.  Barrier is a
-    # lazy localCheckpoint (see lsh_candidate_pairs for the rationale):
-    # this intermediate is CORPUS-SIZED (docs x shingles rows), exactly
-    # the block set that must NOT outlive the query — CacheManager
-    # persist() kept it for the session lifetime; checkpoint blocks are
-    # ContextCleaner-freed when the caller drops the result.
-    sh = sh.localCheckpoint(eager=False)
-    # |A| per doc straight from the source rows — no dependence on the
-    # exploded frame (one consumer fewer on the barrier)
-    sizes = df.select(
-        F.col(id_col),
-        F.size(F.array_distinct(shingles(text_col, shingle_len)))
-        .cast("long")
-        .alias("sz"),
+    # Shingle construction (split -> per-position slice+concat -> md5)
+    # dominates this operator (~3 µs/shingle measured), so it must run
+    # EXACTLY ONCE: the uncapped doc size |A| rides the exploded rows
+    # as a carried column computed from the SAME materialized array the
+    # generator consumes (the intermediate __arr projection keeps
+    # CollapseProject from inlining — and so re-evaluating — the array
+    # into both consumers).  An earlier shape derived sizes in a
+    # separate subtree joined back on each pair side: two more full
+    # shingle builds plus two joins — measured 142s -> 44s at 10^5
+    # docs by this restructure.
+    arr = F.array_distinct(shingles(text_col, shingle_len))
+    sh = (
+        df.select(F.col(id_col), arr.alias("__arr"))
+        .select(
+            id_col,
+            F.size("__arr").cast("long").alias("sz"),
+            F.explode("__arr").alias("sh"),
+        )
+        .select(id_col, "sz", h60("sh").alias("shash"))
     )
     joinable = sh
     if max_doc_freq is not None:
-        freq = sh.groupBy("shash").agg(F.count("*").alias("df"))
-        joinable = sh.join(
-            freq.filter(F.col("df") <= max_doc_freq), on="shash"
-        ).drop("df")
-    a = joinable.select(F.col(id_col).alias("id_a"), "shash")
-    b = joinable.select(F.col(id_col).alias("id_b"), "shash")
-    common = (
+        # df-cap as a WINDOW count, not a groupBy+join-back: one
+        # exchange on shash instead of an aggregation plus a second
+        # corpus-sized shuffle join.  Note the cap filters JOIN rows
+        # only — sz stays the uncapped |A| (the documented lower-bound
+        # contract).
+        wf = Window.partitionBy("shash")
+        joinable = (
+            sh.withColumn("__df", F.count("*").over(wf))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    # joinable feeds BOTH self-join sides.  Barrier is a lazy
+    # localCheckpoint (see lsh_candidate_pairs for the rationale): this
+    # intermediate is CORPUS-SIZED (docs x shingles rows), exactly the
+    # block set that must NOT outlive the query — CacheManager
+    # persist() kept it for the session lifetime; checkpoint blocks are
+    # ContextCleaner-freed when the caller drops the result.  With the
+    # cap applied the checkpointed frame is also already hot-shingle-
+    # pruned (smaller than the raw exploded frame).
+    joinable = joinable.localCheckpoint(eager=False)
+    a = joinable.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shash"
+    )
+    b = joinable.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shash"
+    )
+    return (
         a.join(b, on="shash")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").cast("long").alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(sa, on="id_a")
-        .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),

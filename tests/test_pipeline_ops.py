@@ -60,6 +60,28 @@ def test_lsh_finds_exact_and_near_dups(spark, docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_bucket_cap_prunes_boilerplate_cliques(spark):
+    """Corpus-bench finding (r4): a boilerplate stratum collapses short
+    docs into giant signature buckets whose self-join is quadratic.
+    max_bucket_size must prune those buckets while keeping planted
+    near-dup pairs, and the capped pair set is a subset of uncapped."""
+    boiler = "terms of service apply to this document and all derived works"
+    rows = [(i, f"{boiler} doc {i % 4}") for i in range(40)] + [
+        (100, "a genuinely unique document about spark window operators"),
+        (101, "a genuinely unique document about spark window operators"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unc = {(r.id_a, r.id_b)
+           for r in lsh_candidate_pairs(df, n_hashes=8, bands=4).collect()}
+    cap = {(r.id_a, r.id_b)
+           for r in lsh_candidate_pairs(df, n_hashes=8, bands=4,
+                                        max_bucket_size=12).collect()}
+    assert (100, 101) in cap            # real dup survives the cap
+    assert cap <= unc
+    # the 40-doc boilerplate cliques blow up uncapped, pruned capped
+    assert len(unc) > 150 and len(cap) < 100
+
+
 def test_ngram_jaccard_values(spark, docs):
     out = {
         (r.id_a, r.id_b): r.jaccard
