@@ -1806,3 +1806,43 @@ def oracle_sql():  # noqa: F811
     # same oracle SQL, same hash gate
     o["sessionize_stream"] = o["sessionize"]
     return o
+
+
+def q_latency_quartiles_approx(spark, sf_dir):
+    """Sketch-based per-conversation latency quartiles
+    (``group_quantiles_approx`` — Greenwald-Khanna summaries, one hash
+    aggregation, NO sort, bounded memory at any group size).  The
+    documented contract is a RANK bound (|r - ceil(p*n)| <= n/accuracy,
+    pinned in pytest), not a value identity, and DuckDB's
+    approx_quantile is a different sketch (t-digest) — so this query
+    deliberately has NO oracle_sql entry and takes the driver's
+    weaker rows-only check.  The exact, fully-graded quartiles are
+    ``latency_quartiles``."""
+    from radarpipeline_spark.operators.quartiles import group_quantiles_approx
+
+    t = lag_lead_features(_transcripts(spark, sf_dir))
+    lat_us = F.round(F.col("inter_turn_latency_s") * F.lit(1e6), 0).cast("long")
+    qs = group_quantiles_approx(
+        t.select("conv_id", lat_us.alias("lat_us")),
+        "lat_us",
+        ["conv_id"],
+        probs=(0.25, 0.5, 0.75),
+        out_cols=["p25_us", "p50_us", "p75_us"],
+        accuracy=10_000,
+    )
+    return qs.select(
+        "conv_id",
+        F.col("n").alias("n_lat"),
+        (F.col("p25_us") / F.lit(1e6)).alias("lat_p25_s"),
+        (F.col("p50_us") / F.lit(1e6)).alias("lat_p50_s"),
+        (F.col("p75_us") / F.lit(1e6)).alias("lat_p75_s"),
+    )
+
+
+_BASE_QUERIES9 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES9()
+    q["latency_quartiles_approx"] = q_latency_quartiles_approx
+    return q

@@ -294,38 +294,32 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash) — sign-aggregated token hashes over ``bits`` bits.
 
-    Relational simhash: explode tokens x bit positions, vote +1/-1 per
-    bit by the token hash's bit value, rebuild the integer.  Map-side
-    partial sums keep the shuffle at n_docs x bits rows.
-    """
+    Relational simhash in ONE aggregation: per (doc, token) row, all
+    ``bits`` bit-votes are folded into ``bits`` parallel SUM aggregates
+    (ones_b = Σ bit_b(token_hash)); bit b of the result is set iff
+    2*ones_b > n_tokens (i.e. the +1/-1 vote sum is positive).  An
+    earlier shape exploded tokens x bit positions into vote ROWS —
+    relationally pretty, but O(tokens x bits) row volume: at the
+    3M-doc corpus bench that is 280M tokens x 32 = 9 BILLION rows
+    before the first aggregation.  The fused form keeps row count at
+    tokens and shuffles n_docs x (bits+1) integers with map-side
+    partial sums — value-identical (ties at vote 0 still yield 0;
+    oracle unchanged)."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).select(id_col, h60("tok").alias("th"))
-    votes = tok.select(
-        id_col,
-        "th",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    ).select(
-        id_col,
-        "bit",
-        # column-valued shift amounts need the SQL form (the Python
-        # shiftright/shiftleft helpers only take int literals)
-        F.when(F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) == 1, 1)
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    return (
-        votes.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    ones = [
+        F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
+        for b in range(bits)
+    ]
+    per = tok.groupBy(id_col).agg(F.count("*").alias("__n"), *ones)
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.lit(2) * F.col(f"__o{b}") > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0))
+    return per.select(id_col, sim.alias("simhash"))
 
 
 def connected_components(

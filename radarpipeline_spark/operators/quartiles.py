@@ -142,3 +142,56 @@ def group_quantiles(
         ],
     )
     return small_q.unionByName(big_q)
+
+
+def group_quantiles_approx(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    out_cols: Sequence[str] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate per-group quantiles via ``approx_percentile``
+    (Greenwald-Khanna quantile summaries) — the escape hatch when even
+    the exact rank path's one sort per giant group is too expensive
+    (VERDICT r3 #10).
+
+    One hash aggregation, NO sort, bounded memory: the per-group sketch
+    holds O(accuracy * log n) samples regardless of group size, and
+    sketches merge map-side, so a 10^8-row group costs the same buffer
+    as a 10^3-row one.
+
+    **Error bound** (Spark's QuantileSummaries contract): the returned
+    value is an ACTUAL element of the group whose rank r satisfies
+    ``|r - ceil(p * n)| <= n / accuracy`` — a guaranteed RANK error of
+    at most n/accuracy (value error depends on the data's local
+    density; no interpolation between order statistics is performed,
+    which is also why this variant has no cross-engine value-hash
+    oracle: DuckDB's approx_quantile uses t-digest, a different
+    sketch).  At the default accuracy=10000 the p50 of a 10^8-row
+    group lands within rank 1e8/1e4 = 10^4 of the true median —
+    relative rank error 0.01%.
+
+    Exactness escape: for groups with n <= accuracy the summary holds
+    every value, so the result is the exact order statistic at rank
+    ``ceil(p * n)`` (still not the interpolated quantile).
+
+    Output surface matches :func:`group_quantiles`:
+    ``group_cols + [n] + out_cols``; all-NULL groups are kept with
+    n=0 and NULL quantiles.
+    """
+    out_cols = list(
+        out_cols
+        if out_cols is not None
+        else [f"q_{str(p).replace('0.', '')}" for p in probs]
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        *[
+            F.expr(
+                f"approx_percentile({value_col}, {p!r}, {accuracy})"
+            ).cast("double").alias(c)
+            for p, c in zip(probs, out_cols)
+        ],
+    )

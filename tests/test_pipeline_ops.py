@@ -406,6 +406,59 @@ def test_group_quantiles_keeps_all_null_groups(spark):
             assert repr(ranked[g][c]) == repr(plain[g][c]), (g, c)
 
 
+def test_group_quantiles_approx_rank_bound(spark):
+    """VERDICT r3 #10: the sketch variant must honor its documented
+    rank-error bound |r - ceil(p*n)| <= n/accuracy, return exact order
+    statistics for groups smaller than `accuracy`, keep all-NULL
+    groups, and never sort (plan check)."""
+    import pyspark.sql.functions as SF
+
+    from radarpipeline_spark.operators.quartiles import (
+        group_quantiles_approx,
+    )
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            SF.lit("big").alias("g"),
+            # adversarial order, heavy ties
+            (SF.xxhash64("id") % 1000).alias("v"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("small", 10), ("small", 20), ("small", 30), ("allnull", None)],
+                "g string, v long",
+            )
+        )
+    )
+    out = {r["g"]: r for r in
+           group_quantiles_approx(df, "v", ["g"], accuracy=1000).collect()}
+    assert out["allnull"]["n"] == 0 and out["allnull"]["q_5"] is None
+    # small group: exact order statistic at rank ceil(p*n)
+    assert out["small"]["q_5"] == 20.0 and out["small"]["q_25"] == 10.0
+    # big group: rank of the returned value within n/accuracy of target
+    vals = sorted(
+        r["v"] for r in df.filter(SF.col("g") == "big").collect()
+    )
+    for p, c in [(0.25, "q_25"), (0.5, "q_5"), (0.75, "q_75")]:
+        got = out["big"][c]
+        import bisect
+
+        lo = bisect.bisect_left(vals, got) + 1   # smallest rank of got
+        hi = bisect.bisect_right(vals, got)      # largest rank of got
+        target = -(-p * n // 1)                  # ceil
+        slack = n / 1000
+        assert lo - slack <= target <= hi + slack, (c, got, lo, hi, target)
+    # one hash aggregation, no sort anywhere
+    plan = (
+        group_quantiles_approx(df, "v", ["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Sort" not in plan
+
+
 def _persistent_rdd_count(spark):
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
