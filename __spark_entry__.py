@@ -1846,3 +1846,53 @@ def queries():  # noqa: F811
     q = _BASE_QUERIES9()
     q["latency_quartiles_approx"] = q_latency_quartiles_approx
     return q
+
+
+def q_lsh_pairs_capped(spark, sf_dir):
+    """LSH candidate pairs with the bucket-size cap engaged (the r4
+    corpus-bench finding: boilerplate strata collapse short docs into
+    giant signature buckets whose self-join is quadratic — the cap
+    drops buckets above the limit BEFORE the join).  Graded against a
+    SQL twin that applies the identical window-count filter, so the
+    cap machinery itself is hash-checked, like feature_vector_routed
+    is for the skew router.  max_bucket_size=3 genuinely drops buckets
+    at every test SF (output != the uncapped lsh_pairs query)."""
+    from radarpipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_len=3,
+        max_bucket_size=3,
+    )
+
+
+_BASE_QUERIES10 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES10()
+    q["lsh_pairs_capped"] = q_lsh_pairs_capped
+    return q
+
+
+_BASE_ORACLES10 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES10()
+    o["lsh_pairs_capped"] = f"""
+WITH {_SHINGLE_CTE},
+bs AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2) AS INTEGER) AS band,
+         {_H60.format(x="array_to_string(list_sort(list(minhash)), ',')")} AS band_sig
+  FROM mh GROUP BY doc_id, CAST(floor(hash_idx / 2) AS INTEGER)
+),
+bs2 AS (
+  SELECT doc_id, band, band_sig,
+         count(*) OVER (PARTITION BY band, band_sig) AS bsz
+  FROM bs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bs2 a JOIN bs2 b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id AND a.bsz <= 3
+"""
+    return o

@@ -40,9 +40,19 @@ def tokens(col) -> F.Column:
     return F.split(F.trim(c), TOKEN_SPLIT)
 
 
-def shingles(col, n: int = 3) -> F.Column:
-    """Token n-grams as space-joined strings (array column)."""
-    t = tokens(col)
+def shingles_of(tokens_col, n: int = 3) -> F.Column:
+    """Token n-grams as space-joined strings, over an ALREADY
+    MATERIALIZED token-array column.
+
+    ``tokens_col`` must be a physical column (projected in a previous
+    select), NOT the inline ``tokens(text)`` expression: interpreted
+    higher-order functions re-evaluate their argument expressions per
+    lambda invocation, so an inlined split() re-tokenizes the whole
+    document once PER SHINGLE — O(len^2) per doc.  Measured 29.7s
+    inline vs 2.4s pre-materialized for the identical 2.3M-shingle
+    workload (the corpus bench's dominant cost before this fix:
+    minhash 718s vs simhash's 21s for the same md5 count)."""
+    t = tokens_col
     return F.when(
         F.size(t) >= n,
         F.transform(
@@ -50,6 +60,14 @@ def shingles(col, n: int = 3) -> F.Column:
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def shingles(col, n: int = 3) -> F.Column:
+    """Token n-grams straight from the text column — convenience form
+    for one-shot/small inputs.  Hot paths must pre-project the token
+    array and use :func:`shingles_of` (see its docstring for the
+    interpreted-HOF re-evaluation trap)."""
+    return shingles_of(tokens(col), n)
 
 
 def exact_dedup(
@@ -105,16 +123,26 @@ def minhash_signatures(
     intermediate in a plain 64-bit long — native whole-stage-codegen
     arithmetic in both engines).
 
-    ONE md5 per distinct (doc, shingle); the n_hashes values derive by
-    cheap integer mixing — vs the naive md5(shingle||'#'||i) this cuts
-    both the hash work and the pre-aggregation row count n_hashes-fold
-    (no hash-index explode; n_hashes parallel min aggregates instead).
+    ONE md5 per (doc, shingle); the n_hashes values derive by cheap
+    integer mixing — vs the naive md5(shingle||'#'||i) this cuts both
+    the hash work and the pre-aggregation row count n_hashes-fold (no
+    hash-index explode; n_hashes parallel min aggregates instead).
     Shuffle stays n_docs x n_hashes via map-side partial mins.
+
+    Deliberately NO array_distinct before the explode: MIN over a
+    multiset equals MIN over its set, so deduplicating shingles buys
+    nothing here and costs a per-row hash-set pass over every shingle
+    string (signatures are bit-identical either way; the oracle's
+    distinct-shingle CTE agrees for the same reason).
     """
-    hv = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_len))).alias("sh"),
-    ).select(id_col, h60("sh").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"))
+    hv = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(shingles_of(F.col("__toks"), shingle_len)).alias("sh"),
+        )
+        .select(id_col, h60("sh").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"))
+    )
 
     def g(a: int, b: int) -> F.Column:
         return F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE61))
@@ -234,9 +262,14 @@ def ngram_jaccard_pairs(
     # separate subtree joined back on each pair side: two more full
     # shingle builds plus two joins — measured 142s -> 44s at 10^5
     # docs by this restructure.
-    arr = F.array_distinct(shingles(text_col, shingle_len))
     sh = (
-        df.select(F.col(id_col), arr.alias("__arr"))
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_of(F.col("__toks"), shingle_len)
+            ).alias("__arr"),
+        )
         .select(
             id_col,
             F.size("__arr").cast("long").alias("sz"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from radarpipeline_spark.operators.dedup import h60, shingles, tokens
+from radarpipeline_spark.operators.dedup import h60, shingles_of, tokens
 
 # tiny per-language stopword sets for the n-gram/stopword language
 # heuristic; deliberately short so the SQL twin stays writable.
@@ -133,11 +133,19 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Document fingerprint: full-content hash + winnowed shingle
     fingerprint (minimum shingle hash — one representative per doc,
-    robust to local edits)."""
+    robust to local edits).
+
+    Tokens are materialized as a physical column before the shingle
+    transform — see dedup.shingles_of for the interpreted-HOF
+    re-evaluation trap (inline split re-tokenizes per shingle)."""
     return df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    ).select(
         F.col(id_col),
         h60(text_col).alias("content_hash"),
         F.array_min(
-            F.transform(shingles(text_col, shingle_len), lambda s: h60(s))
+            F.transform(
+                shingles_of(F.col("__toks"), shingle_len), lambda s: h60(s)
+            )
         ).alias("min_shingle_hash"),
     )
