@@ -273,7 +273,18 @@ def ngram_jaccard_pairs(
         .select(
             id_col,
             F.size("__arr").cast("long").alias("sz"),
-            F.explode("__arr").alias("sh"),
+            # explode_OUTER, deliberately: for a plain explode over an
+            # ATTRIBUTE, InferFiltersFromGenerate adds
+            # `size(__arr) > 0 AND isnotnull(__arr)` below the Generate
+            # and predicate pushdown substitutes the aliases all the way
+            # to the scan — re-inlining the whole shingle pipeline
+            # (including the per-shingle re-split this operator just
+            # eliminated) into ONE filter expression.  The rule never
+            # infers for outer generates, and our shingle arrays are
+            # always non-empty/non-null (the shingles_of fallback emits
+            # a 1-element array), so outer == inner here — values
+            # identical, measured ~11x on the corpus bench's scan stage.
+            F.explode_outer("__arr").alias("sh"),
         )
         .select(id_col, "sz", h60("sh").alias("shash"))
     )
