@@ -43,7 +43,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-from bench import _session, _steal_jiffies, log  # noqa: E402
+from bench import _steal_jiffies, log  # noqa: E402
+
+
+def _session(cores: int, shuffle_partitions: int | None = None):
+    """Corpus-bench session: bigger heap than the query bench (the
+    ngram checkpoint holds a 280M-row exploded frame in storage blocks
+    — 24g GC-thrashed at 32 threads) and a smaller
+    files.maxPartitionBytes: the 3M-doc corpus bin-packs into ~19 scan
+    partitions at the 128MB default, capping the scan stage at 19
+    tasks and the measured 8->32 efficiency at ~0.45 for scan-bound
+    ops — the classic 'size input splits to the cluster' knob.
+
+    256 shuffle partitions at EVERY level: the ngram barrier
+    checkpoints a 280M-row frame, and a checkpoint block is one
+    shuffle partition — at 64 partitions that is >100MB of
+    serialization buffer per block x 32 concurrent tasks, which OOMed
+    a 48g heap; at 256 partitions blocks are ~27MB and storage stays
+    healthy.  Same rule at cluster scale: size shuffle partitions so
+    storage/spill blocks stay tens of MB."""
+    from radarpipeline_spark import get_spark
+
+    return get_spark(
+        app_name=f"bench-corpus-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=shuffle_partitions or 256,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            "spark.local.dir": "/dev/shm/spark-bench",
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        },
+    )
 
 VOCAB = 50_000
 BOILER = "terms of service apply to this document and all derived works"
