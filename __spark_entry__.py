@@ -1758,31 +1758,39 @@ def q_sessionize_stream(spark, sf_dir):
                         os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
         name = "sessionize_stream_sink"
         spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-        q = (
-            stream_sessionize(
-                spark.readStream.schema(t.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
+        # the stateful operator's state-store partition count is fixed
+        # at first run from spark.sql.shuffle.partitions — 8 is plenty
+        # for this job and saves ~40 store-task launches per micro-batch
+        # (set/restore: the streaming query runs INSIDE this function)
+        _sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_sessionize(
+                    spark.readStream.schema(t.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _sp)
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
         if n_batches < 2:
             raise RuntimeError(
                 f"streaming run collapsed to {n_batches} micro-batch(es); "
                 "the multi-batch state-carry claim would be vacuous"
             )
-        # materialize OFF the memory sink before the tmp dir vanishes
-        out = spark.createDataFrame(
-            spark.table(name).collect(),
-            spark.table(name).schema,
-        )
+        # the memory sink holds the rows driver-side — the table stays
+        # readable after the tmp source/checkpoint dirs vanish, so no
+        # collect/createDataFrame round-trip is needed
+        out = spark.table(name)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out.select("conv_id", "turn_idx", "ts", "session_id")
