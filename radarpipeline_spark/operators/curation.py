@@ -25,10 +25,9 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from radarpipeline_spark.operators.dedup import h60
+from radarpipeline_spark.operators.dedup import h60, tokens
 from radarpipeline_spark.operators.text import (
-    lang_pred_expr,
-    n_tokens_expr,
+    lang_pred_of,
     quality_score_expr,
 )
 
@@ -55,11 +54,18 @@ def curate_documents(
     own canonical), sampling last (the advertised rate applies to the
     corpus a training run would actually see).
     """
+    # lowered token array materialized ONCE: inlined, the split+lower
+    # chain re-evaluates per consumer (token count + each language's
+    # stopword filter — ~6x on the scan stage; lower() never changes
+    # the token COUNT, so n_tokens = size of the lowered array exactly)
     out = df.select(
         "*",
-        n_tokens_expr(text_col).cast("long").alias("n_tokens"),
+        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+    ).select(
+        *df.columns,
+        F.size("__lt").cast("long").alias("n_tokens"),
         quality_score_expr(text_col).alias("quality_score"),
-        lang_pred_expr(text_col).alias("lang_pred"),
+        lang_pred_of(F.col("__lt")).alias("lang_pred"),
     )
     if min_tokens is not None:
         out = out.filter(F.col("n_tokens") >= min_tokens)

@@ -45,11 +45,13 @@ def quality_score_expr(text_col: str):
     )
 
 
-def lang_pred_expr(text_col: str):
-    """Inline language prediction (argmax stopword hits, ties to the
-    first language ascending, 'und' on zero hits) — lang_id's pred
-    column as one nested expression, for single-pass pipelines."""
-    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+def lang_pred_of(lowered_tokens_col):
+    """Language prediction (argmax stopword hits, ties to the first
+    language ascending, 'und' on zero hits) over an ALREADY MATERIALIZED
+    lowered-token-array column — hot paths must pre-project it (each
+    language's filter re-evaluates an inlined split+lower chain;
+    see dedup.shingles_of for the trap family)."""
+    t = lowered_tokens_col
     langs = sorted(STOPWORDS)
     hits = {
         lang: F.size(F.filter(t, lambda x: x.isin(STOPWORDS[lang])))
@@ -60,6 +62,13 @@ def lang_pred_expr(text_col: str):
     for lang in reversed(langs):
         pred = F.when((best > 0) & (hits[lang] == best), lang).otherwise(pred)
     return pred
+
+
+def lang_pred_expr(text_col: str):
+    """Inline one-expression form of :func:`lang_pred_of` — convenience
+    for one-shot use; pipelines should pre-project the lowered token
+    array and call lang_pred_of."""
+    return lang_pred_of(F.transform(tokens(text_col), lambda x: F.lower(x)))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -102,13 +111,21 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language heuristic: argmax language by stopword
     hits per token; 'und' (undetermined) when no stopwords hit.
-    Deterministic tie-break: language name ascending."""
-    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+    Deterministic tie-break: language name ascending.
+
+    The lowered token array is materialized ONCE as a physical column:
+    inlined, the split+lower chain re-evaluates once per consumer
+    (n_langs filters + the size) — per-row linear, but still a ~5x
+    constant on the scan stage (same family as the shingles_of trap)."""
+    lt = F.col("__lt")
     scores = [
-        F.size(F.filter(t, lambda x: x.isin(words))).alias(f"hits_{lang}")
+        F.size(F.filter(lt, lambda x: x.isin(words))).alias(f"hits_{lang}")
         for lang, words in sorted(STOPWORDS.items())
     ]
-    scored = df.select(F.col(id_col), F.size(t).alias("n_tokens"), *scores)
+    scored = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+    ).select(F.col(id_col), F.size(lt).alias("n_tokens"), *scores)
     langs = sorted(STOPWORDS)
     best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     # first language (ascending) achieving the max

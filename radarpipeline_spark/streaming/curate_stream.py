@@ -36,10 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import IntegerType, StructField, StructType
 
-from radarpipeline_spark.operators.dedup import h60
+from radarpipeline_spark.operators.dedup import h60, tokens
 from radarpipeline_spark.operators.text import (
-    lang_pred_expr,
-    n_tokens_expr,
+    lang_pred_of,
     quality_score_expr,
 )
 
@@ -84,11 +83,16 @@ def stream_curate_documents(
     ``quality_score``, ``lang_pred`` — same surface and same stage
     order as :func:`radarpipeline_spark.operators.curation.curate_documents`.
     """
+    # same pre-materialized lowered-token column as the batch operator
+    # (see curate_documents) — stage parity AND the same HOF-reeval fix
     out = stream.select(
         "*",
-        n_tokens_expr(text_col).cast("long").alias("n_tokens"),
+        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+    ).select(
+        *stream.columns,
+        F.size("__lt").cast("long").alias("n_tokens"),
         quality_score_expr(text_col).alias("quality_score"),
-        lang_pred_expr(text_col).alias("lang_pred"),
+        lang_pred_of(F.col("__lt")).alias("lang_pred"),
     )
     if min_tokens is not None:
         out = out.filter(F.col("n_tokens") >= min_tokens)
