@@ -75,13 +75,17 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     """Token counting + quality scoring (length/punct/digit ratios).
 
     quality_score: fraction-of-alpha-chars * log-length saturation —
-    a simple, fully-declarative heuristic in [0, 1]."""
-    t = tokens(text_col)
+    a simple, fully-declarative heuristic in [0, 1].
+
+    The token count is projected once and reused (the inline split
+    would re-evaluate per consuming expression)."""
+    df = df.select("*", F.size(tokens(text_col)).alias("__ntok"))
+    t_size = F.col("__ntok")
     n_chars = F.length(text_col)
     n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
-    n_tokens = F.size(t)
+    n_tokens = t_size
     # BPE-ish subword segmentation proxy: alpha runs, digit runs, and
     # single non-alnum glyphs — the coarse split a byte-pair tokenizer
     # starts from.  Only basic character classes, so the Java-regex and
