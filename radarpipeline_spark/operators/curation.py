@@ -57,7 +57,11 @@ def curate_documents(
     # lowered token array materialized ONCE: inlined, the split+lower
     # chain re-evaluates per consumer (token count + each language's
     # stopword filter — ~6x on the scan stage; lower() never changes
-    # the token COUNT, so n_tokens = size of the lowered array exactly)
+    # the token COUNT, so n_tokens = size of the lowered array exactly).
+    # Residual: threshold FILTERS pushed below this projection re-inline
+    # the chain by alias substitution — row-linear (never per-element),
+    # and only for the predicates actually requested; the output
+    # projection itself evaluates the array once (pytest-pinned).
     out = df.select(
         "*",
         F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),

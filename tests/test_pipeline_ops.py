@@ -536,6 +536,56 @@ def test_ivf_broadcast_assignment_matches_literal(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_shingle_plans_tokenize_once(spark, docs):
+    """Pin the r4 HOF fixes: the tokenizing split() must appear exactly
+    once per consumer branch in the OPTIMIZED plan.  Two regressions
+    re-introduce quadratic work silently: CollapseProject inlining the
+    token-array alias into the shingle transform (split re-evaluated
+    per shingle), and InferFiltersFromGenerate + pushdown re-inlining
+    the whole pipeline into a scan-side filter (split appears an extra
+    time per side)."""
+    import re
+
+    from radarpipeline_spark.operators.text import doc_fingerprint
+
+    def n_splits(df):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        return len(re.findall(r"split\(trim\(", p))
+
+    # minhash/simhash/fingerprint: single consumer -> exactly 1 split
+    assert n_splits(minhash_signatures(docs, n_hashes=8)) == 1
+    assert n_splits(simhash(docs, bits=16)) == 1
+    assert n_splits(doc_fingerprint(docs)) == 1
+    # ngram: two self-join branches -> one split each (the inferred
+    # filter would add a third)
+    assert n_splits(ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=5)) == 2
+    # lsh: two branches over the minhash chain
+    assert n_splits(lsh_candidate_pairs(docs, n_hashes=8, bands=4)) == 2
+
+
+def test_curation_lowered_tokens_materialized_once(spark):
+    """The curation pipeline's OUTPUT projection must evaluate the
+    lowered token array exactly once (physical column).  Filter
+    predicates pushed below the projection re-inline the chain by alias
+    substitution — a row-LINEAR constant factor, documented in the
+    operator (distinct from the per-element quadratic HOF trap, which
+    this test guards against)."""
+    import re
+
+    from radarpipeline_spark.operators.curation import curate_documents
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    p = (
+        curate_documents(df, dedup=False)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert len(re.findall(r"split\(trim\(", p)) == 1
+    assert len(re.findall(r"lambdafunction\(lower", p)) == 1
+
+
 def test_curate_documents_stage_semantics(spark):
     """Composed curation: filters before dedup (a doc whose duplicates
     are quality-rejected keeps its own canonical), dedup keeps the
