@@ -1904,3 +1904,88 @@ FROM bs2 a JOIN bs2 b ON a.band = b.band AND a.band_sig = b.band_sig
 WHERE a.doc_id < b.doc_id AND a.bsz <= 3
 """
     return o
+
+
+def q_minhash_mix(spark, sf_dir):
+    """MinHash over the allocation-free NUMERIC shingle hash (one md5
+    per TOKEN + the two-lane integer fold of mix_shingle_hashes) — the
+    production path for the single-JVM allocation ceiling the corpus
+    bench exposed (md5-of-shingle-STRING builds per-shingle garbage;
+    at 3M docs / 32 threads the mix path is 1.46x and scales better).
+    Different hash values than the md5-string path by design, so it is
+    graded by its OWN DuckDB twin (the fold is plain long arithmetic,
+    replayed exactly)."""
+    from radarpipeline_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _docs(spark, sf_dir), n_hashes=8, shingle_len=3, shingle_hash="mix"
+    )
+
+
+def _minhash_mix_oracle_sql(n_hashes: int = 8, shingle_len: int = 3) -> str:
+    from radarpipeline_spark.operators.dedup import (
+        MERSENNE61 as _M,
+        shingle_mix_constants,
+    )
+
+    A, C = shingle_mix_constants(shingle_len)
+
+    def fold(vals):
+        # vals: SQL strings for the token-hash at each position
+        terms = []
+        for k, v in enumerate(vals):
+            terms.append(f"(({A[k]}::BIGINT * (({v}) & 4294967295)) % {_M})")
+            terms.append(
+                f"(({C[k]}::BIGINT * ((({v}) >> 32) & 4294967295)) % {_M})"
+            )
+        acc = f"(({terms[0]} + {terms[1]}) % {_M})"
+        for t in terms[2:]:
+            acc = f"(({acc} + {t}) % {_M})"
+        return acc
+
+    n = shingle_len
+    full = fold([f"th[i+{k}]" for k in range(n)])
+    fb = fold([f"COALESCE(th[{k + 1}], 0)" for k in range(n)])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+thar AS (
+  SELECT doc_id,
+         list_transform(tk, tkx -> {_H60.format(x='tkx')}) AS th
+  FROM toks
+),
+shx AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(th) >= {n}
+                THEN list_transform(range(1, len(th) - {n - 2}), i -> {full})
+                ELSE [{fb}] END) AS shash
+  FROM thar
+),
+mh AS (
+  SELECT doc_id, hash_idx,
+         min(((shash & 4294967295) * a + b) % {_M}) AS minhash
+  FROM shx,
+       (VALUES {_MIX_VALUES}) AS mixc(hash_idx, a, b)
+  GROUP BY doc_id, hash_idx
+)
+SELECT doc_id, hash_idx, minhash FROM mh
+"""
+
+
+_BASE_QUERIES11 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES11()
+    q["minhash_mix"] = q_minhash_mix
+    return q
+
+
+_BASE_ORACLES11 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES11()
+    o["minhash_mix"] = _minhash_mix_oracle_sql(n_hashes=8, shingle_len=3)
+    return o
