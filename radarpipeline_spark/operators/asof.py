@@ -113,7 +113,12 @@ def asof_join_pandas(
     merge_asof without ``by=`` matches them), but ``pd.merge_asof(by=)``
     never matches NaN keys — so bucketing routes NULL-key rows to a
     DEDICATED bucket merged WITHOUT ``by=``, preserving the per-entity
-    semantics exactly (pytest-pinned).
+    semantics exactly (pytest-pinned).  The kernel learns it is in the
+    NULL bucket from the COGROUP KEY (the three-argument applyInPandas
+    form), not by inspecting the batch's values: for a float ``by``
+    column, NaN keys are non-NULL and hash into normal buckets, and a
+    normal bucket whose left rows happen to be all-NaN must still merge
+    with ``by=`` (ADVICE r4).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
@@ -137,9 +142,9 @@ def asof_join_pandas(
         *[F.col(c).alias(f"{prefix}{c}") for c in vcols],
     )
 
-    bucketed = n_buckets is not None
-
-    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(
+        use_by: bool, lpdf: pd.DataFrame, rpdf: pd.DataFrame
+    ) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         # merge_asof requires both frames sorted by `on`; by= matching
@@ -150,9 +155,6 @@ def asof_join_pandas(
                 lpdf[f"{prefix}{c}"] = None
             return lpdf[[*left_cols, *[f"{prefix}{c}" for c in vcols]]]
         rpdf = rpdf.rename(columns={"__asof_on": on})
-        # the NULL-key bucket holds rows of ONE entity (the NULL one):
-        # merge without by=, as the per-entity path would
-        use_by = bucketed and not lpdf[by].isna().all()
         rcols = ([by] if use_by else []) + [on] + [
             f"{prefix}{c}" for c in vcols
         ]
@@ -168,21 +170,30 @@ def asof_join_pandas(
         )
         return merged[[*left_cols, *[f"{prefix}{c}" for c in vcols]]]
 
-    if bucketed:
+    if n_buckets is not None:
         # NULL keys get their own bucket (id = n_buckets, outside the
-        # pmod range) so the kernel can detect and merge them without
-        # by= — xxhash64(NULL) would otherwise silently route them into
-        # a normal bucket where merge_asof(by=) never matches NaN keys
+        # pmod range), merged WITHOUT by= — xxhash64(NULL) would
+        # otherwise silently route them into a normal bucket where
+        # merge_asof(by=) never matches NaN keys.  The kernel decides
+        # from the cogroup KEY (three-argument applyInPandas form):
+        # key != n_buckets <=> a normal bucket, which always merges
+        # with by= — even if its left rows are all NaN (a float NaN is
+        # NOT NULL and belongs to a normal bucket; ADVICE r4).
         bucket = F.when(
             F.col(by).isNull(), F.lit(n_buckets).cast("bigint")
         ).otherwise(F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
         return (
             left.groupBy(bucket.alias("__b"))
             .cogroup(right.groupBy(bucket.alias("__b")))
-            .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+            .applyInPandas(
+                lambda key, l, r: merge(key[0] != n_buckets, l, r),
+                schema=out_schema,
+            )
         )
+    # per-entity grouping: each cogroup is exactly one entity, so the
+    # kernel never needs by= (NULL keys form one ordinary group)
     return (
         left.groupBy(by)
         .cogroup(right.groupBy(by))
-        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+        .applyInPandas(lambda l, r: merge(False, l, r), schema=out_schema)
     )

@@ -193,7 +193,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_len: int = 3,
-    shingle_hash: str = "md5",
+    shingle_hash: str = "mix",
 ) -> DataFrame:
     """(id, hash_idx, minhash) — min over shingles of g_i(h32(shingle)),
     with g_i(h) = (a_i*h + b_i) mod (2^61 - 1), a universal-hash family
@@ -213,12 +213,18 @@ def minhash_signatures(
     string (signatures are bit-identical either way; the oracle's
     distinct-shingle CTE agrees for the same reason).
 
-    ``shingle_hash``: ``"md5"`` (default, the value set every existing
-    oracle replays) hashes the shingle STRING; ``"mix"`` is the
-    allocation-free production path — one md5 per TOKEN, then the
-    :func:`mix_shingle_hashes` integer fold (different hash VALUES, so
-    different signatures; equally DuckDB-replayable — the driver grades
-    it via the separate ``minhash_mix`` query).
+    ``shingle_hash``: ``"mix"`` (default — the corpus-scale path) is
+    allocation-free: one md5 per TOKEN, then the
+    :func:`mix_shingle_hashes` integer fold.  ``"md5"`` hashes the
+    shingle STRING — one garbage string + md5 PER SHINGLE, which is the
+    single-JVM allocation ceiling the 3M-doc corpus bench quantified
+    (md5 path SLOWER at 32 threads than 8: 133.9s vs 111.5s, intra-JVM
+    efficiency 0.21, while the numeric simhash control hits 0.99; the
+    mix path is 1.46x at 32 threads and scales).  The two paths produce
+    different hash VALUES, hence different signatures; both are
+    DuckDB-replayable bit-exactly and both are driver-graded
+    (``minhash`` pins md5 explicitly, ``minhash_mix`` grades the
+    default).
     """
     if shingle_hash == "mix":
         hv = (
@@ -268,10 +274,23 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_len: int = 3,
     max_bucket_size: int | None = None,
+    shingle_hash: str = "mix",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding: docs agreeing on
     ALL rows of any band bucket together; pairs come from an equi-join
     on (band, band_sig) — never an all-pairs comparison.
+
+    ``shingle_hash`` passes through to :func:`minhash_signatures`;
+    the default ``"mix"`` is the allocation-free numeric shingle path
+    (the md5-string path was the single-JVM scaling ceiling at corpus
+    scale — see minhash_signatures).  Different hash values mean a
+    different-but-equally-valid banding; both variants carry DuckDB
+    twins (``lsh_pairs`` pins md5, ``lsh_pairs_mix`` the default).
+
+    Peak-throughput note: the self-join below is barrier-free; with
+    ``spark.sql.adaptive.enabled=false`` ReuseExchange runs the minhash
+    leg once, while under AQE (the session default) the leg re-executes
+    — a deliberate, memory-safe 2x on a cheap leg (see inline note).
 
     ``max_bucket_size`` drops band buckets holding more than that many
     docs before the self-join.  The corpus-scale bench exposed why this
@@ -285,7 +304,9 @@ def lsh_candidate_pairs(
     as ``ngram_jaccard_pairs``'s document-frequency cap.  None (the
     default) keeps every bucket."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_len)
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_len, shingle_hash
+    )
     band_sigs = (
         # explicit floor: SQL engines disagree on double->int cast
         # semantics (DuckDB rounds, Spark truncates)
@@ -333,7 +354,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_len: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
+    shingle_hash: str = "mix",
 ) -> DataFrame:
     """n-gram Jaccard similarity for all pairs sharing a shingle.
 
@@ -346,6 +368,26 @@ def ngram_jaccard_pairs(
     whenever the pair shares no stop-shingle): capped intersection,
     full union.  A lower bound only removes candidate pairs near the
     threshold — it never admits a false positive.
+
+    The DEFAULT cap is 10_000: a shingle shared by more than 10^4 docs
+    is boilerplate by any measure, and an uncapped hot shingle makes
+    the self-equi-join quadratic in its document frequency (a single
+    stop-shingle in 10^5 docs = 5 * 10^9 join rows).  Passing
+    ``max_doc_freq=None`` is the explicit opt-in to the uncapped exact
+    join (the ``allow_exact`` pattern) — only sane on corpora known to
+    be boilerplate-free.
+
+    ``shingle_hash``: jaccard depends on shingle hashes only through
+    EQUALITY, so the numeric ``"mix"`` default (see
+    :func:`minhash_signatures`) yields values identical to the
+    md5-string path modulo 2^-61 hash collisions — the driver grades
+    the default against the md5-built DuckDB twin, which is itself the
+    strongest evidence of hash-identity-only semantics.
+
+    Peak-throughput note: the self-join is barrier-free; with
+    ``spark.sql.adaptive.enabled=false`` ReuseExchange runs the shingle
+    leg once, under AQE (session default) the leg re-executes —
+    deliberate, memory-safe (see inline note).
     """
     # Shingle construction (split -> per-position slice+concat -> md5)
     # dominates this operator (~3 µs/shingle measured), so it must run
@@ -357,32 +399,56 @@ def ngram_jaccard_pairs(
     # separate subtree joined back on each pair side: two more full
     # shingle builds plus two joins — measured 142s -> 44s at 10^5
     # docs by this restructure.
-    sh = (
-        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .select(
+    if shingle_hash == "mix":
+        # numeric path: the array elements ARE the 61-bit shingle
+        # hashes (one md5 per token + integer fold) — distinct-on-hash
+        # == distinct-on-shingle modulo collisions, and no per-shingle
+        # string is ever built.
+        arr = df.select(
+            F.col(id_col), tokens(text_col).alias("__toks")
+        ).select(
+            F.col(id_col),
+            F.transform(F.col("__toks"), lambda t: h60(t)).alias("__thar"),
+        ).select(
             F.col(id_col),
             F.array_distinct(
-                shingles_of(F.col("__toks"), shingle_len)
+                mix_shingle_hashes(F.col("__thar"), shingle_len)
             ).alias("__arr"),
         )
-        .select(
+        sh = arr.select(
             id_col,
             F.size("__arr").cast("long").alias("sz"),
-            # explode_OUTER, deliberately: for a plain explode over an
-            # ATTRIBUTE, InferFiltersFromGenerate adds
-            # `size(__arr) > 0 AND isnotnull(__arr)` below the Generate
-            # and predicate pushdown substitutes the aliases all the way
-            # to the scan — re-inlining the whole shingle pipeline
-            # (including the per-shingle re-split this operator just
-            # eliminated) into ONE filter expression.  The rule never
-            # infers for outer generates, and our shingle arrays are
-            # always non-empty/non-null (the shingles_of fallback emits
-            # a 1-element array), so outer == inner here — values
-            # identical, measured ~11x on the corpus bench's scan stage.
-            F.explode_outer("__arr").alias("sh"),
+            # explode_OUTER: see the md5 branch's note on
+            # InferFiltersFromGenerate re-inlining.
+            F.explode_outer("__arr").alias("shash"),
         )
-        .select(id_col, "sz", h60("sh").alias("shash"))
-    )
+    else:
+        sh = (
+            df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+            .select(
+                F.col(id_col),
+                F.array_distinct(
+                    shingles_of(F.col("__toks"), shingle_len)
+                ).alias("__arr"),
+            )
+            .select(
+                id_col,
+                F.size("__arr").cast("long").alias("sz"),
+                # explode_OUTER, deliberately: for a plain explode over an
+                # ATTRIBUTE, InferFiltersFromGenerate adds
+                # `size(__arr) > 0 AND isnotnull(__arr)` below the Generate
+                # and predicate pushdown substitutes the aliases all the way
+                # to the scan — re-inlining the whole shingle pipeline
+                # (including the per-shingle re-split this operator just
+                # eliminated) into ONE filter expression.  The rule never
+                # infers for outer generates, and our shingle arrays are
+                # always non-empty/non-null (the shingles_of fallback emits
+                # a 1-element array), so outer == inner here — values
+                # identical, measured ~11x on the corpus bench's scan stage.
+                F.explode_outer("__arr").alias("sh"),
+            )
+            .select(id_col, "sz", h60("sh").alias("shash"))
+        )
     joinable = sh
     if max_doc_freq is not None:
         # df-cap as a WINDOW count, not a groupBy+join-back: one
@@ -556,17 +622,24 @@ def dedup_clusters(
     id_col: str = "doc_id",
     shingle_len: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
     max_iter: int = 25,
+    shingle_hash: str = "mix",
 ) -> DataFrame:
     """Near-duplicate clusters: n-gram Jaccard pairs above ``threshold``
     -> connected components -> (doc_id, cluster_id, is_canonical).
     cluster_id is the smallest doc id in the component (the member a
     dedup pass would keep).  Raises if components haven't converged
     within ``max_iter`` label-propagation rounds (see
-    :func:`connected_components`)."""
+    :func:`connected_components`).  ``max_doc_freq`` and
+    ``shingle_hash`` pass through to :func:`ngram_jaccard_pairs` —
+    defaults are the scale-safe df-cap and the allocation-free numeric
+    shingle hash (cluster membership depends on shingle hashes only
+    through equality, so the output is identical to the md5 path
+    modulo hash collisions)."""
     pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_len, threshold, max_doc_freq
+        df, text_col, id_col, shingle_len, threshold, max_doc_freq,
+        shingle_hash,
     )
     comp = connected_components(pairs, max_iter=max_iter)
     return comp.select(

@@ -91,9 +91,23 @@ def group_quantiles(
     # count(value_col) counts non-NULL values only, but the groupBy
     # keys keep EVERY group — all-NULL groups arrive with n = 0.
     counts = df.groupBy(*gcols).agg(F.count(value_col).alias("n"))
+    # NULL-SAFE routing join (ADVICE r4): a plain equi-join on the key
+    # columns silently drops any group whose key contains NULL from
+    # BOTH routing branches — groupBy keeps NULL keys as a group, so
+    # the plain-percentile contract (and group_quantiles_approx, a
+    # pure groupBy) would diverge.  eqNullSafe per key routes NULL-key
+    # groups like any other; keys are re-aliased first so the
+    # self-derived join doesn't collide exprIds, and <=> keys still
+    # plan as broadcast-hash-join keys.
+    counts = counts.select(
+        *[F.col(c).alias(f"__g_{c}") for c in gcols], "n"
+    )
     if broadcast_counts:
         counts = F.broadcast(counts)
-    routed = df.join(counts, on=gcols)
+    cond = F.lit(True)
+    for c in gcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    routed = df.join(counts, on=cond).drop(*[f"__g_{c}" for c in gcols])
 
     small = routed.filter(F.col("n") <= buffer_threshold)
     small_q = small.groupBy(*gcols, "n").agg(

@@ -149,3 +149,46 @@ def test_pandas_bucketed_null_keys_match_per_entity(spark):
     got = {(c, t): v for c, t, v in bucketed}
     assert got[(None, 0)] == 7.0 and got[(None, 1)] == 8.0
     assert got[("a", 0)] == 1.0 and got[("b", 0)] is None
+
+
+def test_pandas_bucketed_nan_float_keys_stay_per_entity(spark):
+    """ADVICE r4: the NULL-bucket used to be inferred from DATA
+    (lpdf[by].isna().all()) — for a FLOAT `by` column, NaN keys are
+    non-NULL (they hash into normal buckets), and a normal bucket whose
+    left rows are coincidentally all-NaN flipped by= off and
+    cross-matched those rows against OTHER entities' right rows sharing
+    the bucket.  use_by now comes from the cogroup KEY, so a NaN-key
+    row must never receive a backfill from a different float entity."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    nan = float("nan")
+    left = spark.createDataFrame(
+        [(nan, 0, t0 + 10 * sec), (7.0, 0, t0 + 10 * sec)],
+        "conv_id double, turn_idx int, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(7.0, t0 + 1 * sec, 1.0)],
+        "conv_id double, ts timestamp_ntz, aux_value double",
+    )
+    # n_buckets=1 forces the NaN-key left row and entity 7.0's right
+    # row into the SAME (all-left-rows-include-NaN-capable) bucket;
+    # with data-sniffed use_by a 1-bucket layout where the NaN row is
+    # alone on the left would cross-match it against 7.0's right row.
+    for n_buckets in (1, 4):
+        out = {}
+        for r in asof_join_pandas(left, right, n_buckets=n_buckets).collect():
+            k = r["conv_id"]
+            out["nan" if k is None or math.isnan(k) else k] = (
+                r["asof_aux_value"]
+            )
+        assert len(out) == 2
+        assert out[7.0] == 1.0, n_buckets
+        # NaN is its own entity: merge_asof(by=) never matches NaN —
+        # no cross-entity backfill.  (The key itself round-trips as
+        # None: pandas/Arrow conflates NaN with missing in nullable
+        # float columns — a pandas-path representation caveat, not a
+        # matching bug.)
+        assert out["nan"] is None, n_buckets
