@@ -53,6 +53,7 @@ def group_quantiles(
     out_cols: Sequence[str] | None = None,
     buffer_threshold: int = 1 << 16,
     broadcast_counts: bool = True,
+    strategy: str = "routed",
 ) -> DataFrame:
     """Exact interpolated per-group quantiles of ``value_col``.
 
@@ -79,6 +80,22 @@ def group_quantiles(
     (once per routing branch; measured ~1.3x the whole query).  Set
     False only at extreme group cardinality (10^8+ groups), where the
     counts table itself stops being broadcastable.
+
+    ``strategy``:
+
+    * ``"routed"`` (default) — the size-routed two-branch plan above:
+      right when group sizes are mixed and most groups are small (the
+      hash-agg ``percentile`` branch never sorts them).
+    * ``"sort"`` — ONE spillable plan for every group (VERDICT r4
+      #10): a single window sort (``value NULLS LAST``) provides
+      ``row_number`` and the non-NULL count from the same WindowExec,
+      the order statistics each quantile interpolates between are kept,
+      and the finishing aggregate reuses the window's hash
+      partitioning — one exchange + one sort total, no counts join, no
+      routing branches.  Bit-identical to the routed plan (pinned),
+      bounded memory at any group size.  Right when a sort of the
+      input is acceptable anyway (the rank branch's cost) — it deletes
+      the routing overhead the two-branch plan pays on top.
     """
     gcols = list(group_cols)
     out_cols = list(
@@ -87,6 +104,59 @@ def group_quantiles(
         else [f"q_{str(p).replace('0.', '')}" for p in probs]
     )
     v = F.col(value_col)
+
+    if strategy == "sort":
+        ws = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc_nulls_last())
+        # count over the same (partition, order) with an unbounded frame
+        # shares the sorted WindowExec; NULLS LAST puts the n non-NULL
+        # values at ranks 1..n exactly
+        whole = ws.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = df.select(
+            *gcols,
+            v.alias("__v"),
+            F.row_number().over(ws).alias("__r"),
+            F.count(value_col).over(whole).alias("n"),
+        )
+        # keep the <= 2*len(probs) order statistics per group, plus one
+        # representative row of each all-NULL group (n = 0, NULL
+        # quantiles — same contract as both other paths)
+        keep = (F.col("n") == 0) & (F.col("__r") == 1)
+        for p in probs:
+            d = F.lit(p) * (F.col("n").cast("double") - F.lit(1.0))
+            keep = (
+                keep
+                | (F.col("__r") == F.floor(d).cast("long") + 1)
+                | (F.col("__r") == F.ceil(d).cast("long") + 1)
+            )
+        stats = ranked.filter(keep)
+        agg_exprs = []
+        for p, c in zip(probs, out_cols):
+            d = F.lit(p) * (F.col("n").cast("double") - F.lit(1.0))
+            lo = F.max(
+                F.when(F.col("__r") == F.floor(d).cast("long") + 1, F.col("__v"))
+            )
+            hi = F.max(
+                F.when(F.col("__r") == F.ceil(d).cast("long") + 1, F.col("__v"))
+            )
+            agg_exprs.append((p, c, lo, hi))
+        out = stats.groupBy(*gcols, "n").agg(
+            *[lo.alias(f"__lo_{c}") for _, c, lo, _ in agg_exprs],
+            *[hi.alias(f"__hi_{c}") for _, c, _, hi in agg_exprs],
+        )
+        return out.select(
+            *gcols,
+            "n",
+            *[
+                _interp(
+                    p, F.col("n"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+                ).alias(c)
+                for p, c, _, _ in agg_exprs
+            ],
+        )
+    if strategy != "routed":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     # count(value_col) counts non-NULL values only, but the groupBy
     # keys keep EVERY group — all-NULL groups arrive with n = 0.

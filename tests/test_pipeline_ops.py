@@ -402,6 +402,14 @@ def test_group_quantiles_routes_big_groups_spillable(spark):
     # the big group really took the window path: plan shows row_number
     p = routed._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in p and "percentile" in p
+    # single-sort strategy (VERDICT r4 #10): bit-identical on the same
+    # adversarial input (mixed sizes, duplicates, NULL values), with
+    # neither a percentile aggregate nor a routing join in the plan
+    single = group_quantiles(df, "lat_us", ["conv_id"], strategy="sort")
+    assert key(single) == key(plain)
+    ps = single._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in ps and "percentile" not in ps
+    assert "Join" not in ps
 
 
 def test_group_quantiles_keeps_all_null_groups(spark):
@@ -448,6 +456,14 @@ def test_group_quantiles_keeps_all_null_groups(spark):
     for g in ("a", "b", "c"):
         for c in ("n", "q_25", "q_5", "q_75"):
             assert repr(ranked[g][c]) == repr(plain[g][c]), (g, c)
+    # ... and through the single-sort strategy (all-NULL group "b" kept
+    # via its NULLS-LAST rank-1 representative row)
+    single = {r["conv_id"]: r for r in
+              group_quantiles(df, "lat_us", ["conv_id"],
+                              strategy="sort").collect()}
+    for g in ("a", "b", "c"):
+        for c in ("n", "q_25", "q_5", "q_75"):
+            assert repr(single[g][c]) == repr(plain[g][c]), (g, c)
 
 
 def test_group_quantiles_keeps_null_key_groups(spark):
@@ -483,6 +499,7 @@ def test_group_quantiles_keeps_null_key_groups(spark):
         {},                          # percentile branch
         {"buffer_threshold": 0},     # rank branch
         {"broadcast_counts": False},  # sort-merge routing join
+        {"strategy": "sort"},        # single-sort plan (no routing join)
     ):
         out = {r["conv_id"]: r for r in
                group_quantiles(df, "lat_us", ["conv_id"], **kwargs).collect()}
