@@ -566,6 +566,18 @@ def connected_components(
 
     from pyspark import StorageLevel
 
+    # Checkpoint the edge list ONCE before fanning out: fwd and rev
+    # below each embed the full `edges` plan, and when edges is an
+    # expensive candidate generator (ngram_jaccard_pairs' shingle
+    # self-join) AQE misses the exchange reuse and executes the whole
+    # pipeline TWICE just to build adj (measured ~1.6x dedup_clusters
+    # at 3M docs).  Unlike the corpus-sized frames the r4 barrier rule
+    # bans from checkpointing, a candidate-pair list is OUTPUT-scale —
+    # bounded by the df/bucket caps, two longs per row — so an eager
+    # localCheckpoint is safe; its blocks are ContextCleaner-freed with
+    # the returned DataFrame (block-release pytest pin).
+    edges = edges.localCheckpoint()
+
     # undirected: materialize both directions once
     fwd = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
     rev = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
