@@ -2171,3 +2171,105 @@ def oracle_sql():  # noqa: F811
     # exactly — same oracle SQL, same hash gate
     o["rolling_stream"] = o["rolling"]
     return o
+
+
+def q_curation_stream(spark, sf_dir):
+    """STREAMING curation twin graded by the BATCH curation oracle:
+    the documents table is re-delivered as a genuine multi-micro-batch
+    file stream (three doc_id-ordered slices, one file per batch), run
+    through ``stream_curate_documents`` — stateful bucketed exact
+    dedup FIRST (state = array of seen content hashes per bucket,
+    carried across batches), then the token/quality/language filters
+    and the deterministic sample on its survivors — and drained with
+    availableNow into a memory sink.  The oracle is the SAME SQL as
+    the batch ``curation`` query, so the driver hash-grades the
+    dedup-first stage reorder AND the cross-batch state semantics
+    end-to-end.
+
+    Slicing ascending by doc_id makes first-arrival-min == global-min
+    id per content (the stream/batch parity contract).  A small bucket
+    count (64) forces many distinct contents per bucket — the
+    array-state collision paths are what this query grades, not the
+    degenerate one-content-per-bucket shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from radarpipeline_spark.streaming.curate_stream import (
+        stream_curate_documents,
+    )
+
+    d = _docs(spark, sf_dir)
+    mx = d.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
+
+    root = tempfile.mkdtemp(prefix="curation_stream_")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    os.makedirs(src)
+    try:
+        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+            d.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    p = os.path.join(src, f)
+                    if os.path.getmtime(p) > 1_000_000_000 + (i + 1):
+                        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        name = "curation_stream_sink"
+        spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+        _sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_curate_documents(
+                    spark.readStream.schema(d.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src),
+                    min_tokens=6,
+                    min_quality=0.35,
+                    langs=["en", "de", "fr"],
+                    dedup=True,
+                    sample_pct=60,
+                    dedup_buckets=64,
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _sp)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        if n_batches < 2:
+            raise RuntimeError(
+                f"streaming run collapsed to {n_batches} micro-batch(es); "
+                "the multi-batch state-carry claim would be vacuous"
+            )
+        out = spark.table(name)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select("doc_id", "lang_pred", "n_tokens", "quality_score")
+
+
+_BASE_QUERIES13 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES13()
+    q["curation_stream"] = q_curation_stream
+    return q
+
+
+_BASE_ORACLES13 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES13()
+    # the streaming twin must reproduce the BATCH curation pipeline
+    # exactly — same oracle SQL, same hash gate
+    o["curation_stream"] = o["curation"]
+    return o

@@ -3,6 +3,7 @@
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from radarpipeline_spark.operators import sessionize
 from radarpipeline_spark.sources.transcripts import TRANSCRIPT_SCHEMA
@@ -431,11 +432,17 @@ def test_stream_rolling_matches_batch(spark, tmp_path):
     assert key(streamed) == key(batch)
 
 
-def test_stream_curate_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("dedup_buckets", [3, None])
+def test_stream_curate_matches_batch(spark, tmp_path, dedup_buckets):
     """VERDICT r3 #8: streaming curation (stateless filters + stateful
     exact dedup + deterministic sample) == batch curate_documents, with
     the corpus split mid-stream and duplicate contents spanning the
-    split (state must drop the batch-2 re-occurrence)."""
+    split (state must drop the batch-2 re-occurrence).
+
+    Parametrized over both dedup kernels: the bucketed array-state one
+    (buckets=3 forces many distinct contents per bucket AND multiple
+    buckets — the collision paths) and the per-content point-lookup
+    one (buckets=None)."""
     from radarpipeline_spark.operators.curation import curate_documents
     from radarpipeline_spark.streaming.curate_stream import (
         stream_curate_documents,
@@ -458,6 +465,7 @@ def test_stream_curate_matches_batch(spark, tmp_path):
     # share text 0 etc. -> duplicates within AND across the split
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kw = dict(min_tokens=5, min_quality=0.2, dedup=True, sample_pct=90)
+    skw = dict(kw, dedup_buckets=dedup_buckets)
 
     src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
     os.makedirs(src)
@@ -466,7 +474,7 @@ def test_stream_curate_matches_batch(spark, tmp_path):
     def drain():
         q = (
             stream_curate_documents(
-                spark.readStream.schema(schema).parquet(src), **kw
+                spark.readStream.schema(schema).parquet(src), **skw
             )
             .writeStream.format("parquet")
             .option("path", out)
