@@ -2273,3 +2273,112 @@ def oracle_sql():  # noqa: F811
     # exactly — same oracle SQL, same hash gate
     o["curation_stream"] = o["curation"]
     return o
+
+
+def q_tfidf_top(spark, sf_dir):
+    """Top-3 TF-IDF terms per document with the stopword cut engaged
+    (max_df_ratio=0.78 genuinely drops the most-common terms at every
+    test SF — df spread is 25..415 over 500 docs — so the cap
+    machinery itself is hash-graded, like lsh_pairs_capped grades the
+    bucket cap).  Ranking is over the ROUNDED score with a term-asc
+    tie-break, so the rnk<=3 cutoff is deterministic cross-engine."""
+    from radarpipeline_spark.operators.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _docs(spark, sf_dir), top_n=3, max_df_ratio=0.78
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-20 against a 3-term query mixing the corpus's
+    one rare term ('dup', df=25/500 — the planted-dup marker, high
+    idf) with two near-stopwords ('spark', 'window', df~0.8N) — the
+    relevance spread a real query-based data-selection pass sees.
+    Per-term contributions are rounded to 6 dp and summed as
+    DECIMAL(18,6), so the per-doc score is aggregation-order-proof
+    and the top-20 cutoff (score desc, doc_id asc) deterministic."""
+    from radarpipeline_spark.operators.ranking import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), ["spark", "window", "dup"], top_k=20
+    )
+
+
+_BASE_QUERIES14 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES14()
+    q["tfidf_top"] = q_tfidf_top
+    q["bm25"] = q_bm25
+    return q
+
+
+# Shared lowered-token CTE for the ranking twins (same tokenization as
+# every text oracle: regexp_split_to_array(trim(text), '\s+'), lowered).
+_LT_CTE = r"""toks AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> lower(x)) AS lt
+  FROM documents
+)"""
+
+
+_BASE_ORACLES14 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES14()
+    o["tfidf_top"] = f"""
+WITH {_LT_CTE},
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(lt) AS BIGINT) AS dl, unnest(lt) AS term
+        FROM toks) u
+  GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+kept AS (SELECT d.term, d.df FROM dfq d, n WHERE d.df <= n.n_docs * 0.78),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, k.df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (k.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN kept k USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored) r
+WHERE rnk <= 3
+"""
+    o["bm25"] = f"""
+WITH {_LT_CTE},
+base AS (
+  SELECT doc_id, CAST(len(lt) AS BIGINT) AS dl,
+         list_filter(lt, x -> list_contains(['dup','spark','window'], x)) AS qt
+  FROM toks
+),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(qt) AS term FROM base) u
+  GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                             / (CAST(g.sum_dl AS DOUBLE) / g.n_docs))),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf JOIN dfq USING (term) CROSS JOIN g
+)
+SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25
+FROM c GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+    return o

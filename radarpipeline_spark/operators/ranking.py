@@ -1,0 +1,200 @@
+"""IR ranking operators — term/document frequencies, TF-IDF, BM25.
+
+No reference counterpart (RADAR-base/radarpipeline has no text
+analytics); these are training-data-pipeline staples (corpus-level
+relevance scoring for data selection / query-based filtering), built in
+the same fully-declarative Catalyst style as operators/text.py: built-in
+functions only, no UDFs, and each graded query has an ANSI-SQL DuckDB
+twin.
+
+Physical shape at 100 TB:
+
+* ``term_frequencies`` explodes tokens (a Generate in the scan stage —
+  no shuffle) and aggregates on (doc, term): ONE hash shuffle whose
+  map-side partial aggregation collapses repeated terms per doc before
+  the exchange, so the shuffle moves postings, not occurrences.
+* document frequency inside ``tfidf_top_terms`` is a WINDOW count over
+  the postings aggregate partitioned by term — one term-keyed shuffle
+  over postings (one row per doc-term pair, never raw tokens), versus
+  the aggregate-then-join-back shape's two exchanges plus both
+  sort-merge legs. A hot stopword term carries at most one posting per
+  document — LINEAR in corpus size, never the quadratic self-join
+  blow-up the dedup family guards against. ``max_df_ratio`` drops such
+  terms right after the window (the classic stopword cut).
+  ``doc_frequencies`` stays as the standalone aggregate for callers
+  that want the (term, df) table itself.
+* ``bm25_search`` filters the token array down to the query's terms
+  BEFORE exploding (a per-row array filter in the scan stage), so the
+  posting list entering the shuffle is bounded by |query| × n_docs;
+  per-term df and the (n_docs, Σdl) corpus globals are broadcast
+  (|query| rows and 1 row respectively).
+
+Cross-engine determinism: every score is one fixed IEEE expression tree
+over exact integers (tf/df/dl/n_docs/Σdl), rounded to 6 dp; the BM25
+per-term contributions are additionally summed as DECIMAL(18,6) (exact,
+order-independent) and cast back to double, so the per-doc sum cannot
+drift with aggregation order.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from radarpipeline_spark.operators.dedup import tokens
+
+
+def _lowered_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __lt) with the lowered token array materialized ONCE as a
+    physical column (multi-referenced alias blocks CollapseProject —
+    the interpreted-HOF re-evaluation trap, see dedup.shingles_of)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings with within-document term frequency: one row per
+    (doc, term) with ``tf`` (occurrences in the doc) and ``dl`` (doc
+    length in tokens). Terms are lowercased; tokenization is the shared
+    whitespace split every text operator (and its oracle) uses."""
+    base = _lowered_tokens(df, text_col, id_col).select(
+        id_col,
+        F.col("__lt"),
+        F.size("__lt").cast("long").alias("dl"),
+    )
+    return (
+        base.select(id_col, "dl", F.explode_outer("__lt").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(id_col, "term", "tf", "dl")
+    )
+
+
+def doc_frequencies(tf_df: DataFrame) -> DataFrame:
+    """term → number of documents containing it, derived from the
+    postings AGGREGATE (one row per doc-term pair, so a plain count)."""
+    return tf_df.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Top-``top_n`` terms per document by smoothed TF-IDF.
+
+    tfidf = round(tf * ln((N + 1) / (df + 1)), 6) — ranked on the
+    ROUNDED score (desc, then term asc) so the cutoff is deterministic
+    cross-engine. ``max_df_ratio`` drops terms present in more than
+    that fraction of documents before scoring (stopword cut — also the
+    skew valve for the term-keyed shuffle at corpus scale).
+
+    Output: (id, term, tf, df, tfidf, rnk), rnk in 1..top_n.
+    """
+    tf_df = term_frequencies(df, text_col, id_col)
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = tf_df.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
+    ).crossJoin(F.broadcast(n))
+    if max_df_ratio is not None:
+        scored = scored.filter(
+            F.col("df") <= F.col("n_docs") * F.lit(float(max_df_ratio))
+        )
+    scored = scored.select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` documents by Okapi BM25 against a bag of query
+    terms (lowercased, deduplicated).
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = Σ_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    avgdl is Σdl / N with Σdl an exact integer sum (one deterministic
+    double division — aggregation-order-proof). Each term contribution
+    is rounded to 6 dp, summed as DECIMAL(18,6) (exact) and cast back
+    to double, so the per-doc score is bit-identical regardless of
+    which term lands in which partition. Ties are broken by id asc.
+
+    The corpus is scanned twice (globals + postings), both scans pruned
+    to (id, text); the postings scan filters the token array to the
+    query's terms BEFORE exploding, so only |query| × n_docs rows can
+    ever reach the shuffle.
+    """
+    qts = sorted({t.lower() for t in query_terms})
+    if not qts:
+        raise ValueError("bm25_search requires at least one query term")
+    base = _lowered_tokens(df, text_col, id_col).select(
+        id_col,
+        F.size("__lt").cast("long").alias("dl"),
+        F.filter("__lt", lambda x: x.isin(qts)).alias("__qt"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    postings = (
+        base.select(id_col, "dl", F.explode("__qt").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = doc_frequencies(postings)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(g))
+        .select(id_col, contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("__s"))
+        .select(id_col, F.col("__s").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
