@@ -2382,3 +2382,96 @@ ORDER BY bm25 DESC, doc_id ASC
 LIMIT 20
 """
     return o
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics over the documents
+    table: top-2-gram occupancy + duplicated-3-gram occurrence
+    fraction, both gram lengths riding one explode."""
+    from radarpipeline_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 20th document stands in for a
+    held-out eval set (at 500 docs that is 25 bench docs whose planted
+    dup-cluster siblings genuinely overlap), the corpus is flagged by
+    8-gram hash overlap.  The bench side is distinct gram hashes,
+    explicitly broadcast; the corpus crosses the plan once."""
+    from radarpipeline_spark.operators.decontam import ngram_decontaminate
+
+    d = _docs(spark, sf_dir)
+    return ngram_decontaminate(d, d.filter(F.col("doc_id") % 20 == 0), n=8)
+
+
+_BASE_QUERIES15 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES15()
+    q["repetition"] = q_repetition
+    q["decontaminate"] = q_decontaminate
+    return q
+
+
+_BASE_ORACLES15 = oracle_sql
+
+
+def _gram_list(n: int, t: str = "t") -> str:
+    """DuckDB replay of dedup.shingles_of for gram length ``n`` over a
+    token-array column ``t`` (incl. the short-doc fallback)."""
+    return (
+        f"CASE WHEN len({t}) >= {n} "
+        f"THEN list_transform(generate_series(0, len({t}) - {n}), "
+        f"i -> array_to_string({t}[i+1:i+{n}], ' ')) "
+        f"ELSE [array_to_string({t}, ' ')] END"
+    )
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES15()
+    o["repetition"] = f"""
+WITH {_LT_CTE},
+g AS (
+  SELECT doc_id, 2 AS n, unnest({_gram_list(2, 'lt')}) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({_gram_list(3, 'lt')}) AS g FROM toks
+),
+c AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt
+  FROM g GROUP BY doc_id, n, g
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS n_2grams,
+  CAST(sum(CASE WHEN n = 3 THEN cnt END) AS BIGINT) AS n_3grams,
+  round(max(CASE WHEN n = 2 THEN cnt END)
+        / sum(CASE WHEN n = 2 THEN cnt END), 6) AS top_2gram_frac,
+  round(COALESCE(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END), 0)
+        / sum(CASE WHEN n = 3 THEN cnt END), 6) AS dup_3gram_frac
+FROM c GROUP BY doc_id
+"""
+    o["decontaminate"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bh AS (
+  SELECT DISTINCT {_H60.format(x='sh')} AS h
+  FROM (SELECT unnest({_gram_list(8)}) AS sh
+        FROM toks WHERE doc_id % 20 = 0) s
+),
+dg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({_gram_list(8)},
+                s -> {_H60.format(x='s')}))) AS gh
+  FROM toks
+)
+SELECT d.doc_id,
+       CAST(count(d.gh) AS BIGINT) AS n_grams,
+       CAST(count(b.h) AS BIGINT) AS n_overlap,
+       round(count(b.h) / count(d.gh), 6) AS overlap_frac,
+       count(b.h) > 0 AS contaminated
+FROM dg d LEFT JOIN bh b ON d.gh = b.h
+GROUP BY d.doc_id
+"""
+    return o

@@ -1,0 +1,98 @@
+"""Benchmark decontamination — flag training documents that share
+token n-grams with a held-out evaluation set.
+
+The standard pre-training hygiene pass (n-gram overlap decontamination,
+n around 8-13): any document containing an n-gram that also appears in
+the benchmark is contaminated and gets dropped or audited.  No
+reference counterpart (RADAR-base/radarpipeline has no text
+analytics); built in the dedup family's style: shared tokenization
+(``dedup.tokens``), shared shingle semantics (``dedup.shingles_of``,
+including its short-doc fallback), h60 hashes joined on 61-bit
+integers, and a DuckDB oracle twin replaying the identical chain.
+
+Physical shape at 100 TB:
+
+* the benchmark side is DISTINCT n-gram hashes — bounded by the eval
+  set (thousands of docs), orders of magnitude under the corpus — and
+  is explicitly ``broadcast()``: the corpus-side explode joins against
+  it map-side, so the only shuffle is the per-doc count aggregate.
+  (A benchmark too large to broadcast would flip to a shuffle join by
+  removing the hint; the call-side contract documents the assumption.)
+* the corpus crosses the plan ONCE: distinct gram hashes per doc are
+  built with array ops in the scan stage, explode_outer keeps
+  zero-gram docs alive, and a single groupBy(doc) counts both totals
+  and benchmark hits — no join back to the corpus to recover
+  non-contaminated rows.
+* counts are exact integers; ``overlap_frac`` is round(·, 6) of their
+  ratio — ulp-safe cross-engine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from radarpipeline_spark.operators.dedup import h60, shingles_of, tokens
+
+
+def benchmark_ngram_hashes(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """DISTINCT h60 hashes of the benchmark's token ``n``-grams —
+    one column ``__bh``.  Tokenization and shingle semantics are the
+    dedup family's (so the same text always produces the same grams
+    on both sides of the decontamination join)."""
+    return (
+        bench.select(tokens(text_col).alias("__t"))
+        .select(
+            F.explode_outer(
+                F.transform(shingles_of(F.col("__t"), n), lambda s: h60(s))
+            ).alias("__bh")
+        )
+        .filter(F.col("__bh").isNotNull())
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination report against ``bench``.
+
+    Output: (id, n_grams, n_overlap, overlap_frac, contaminated) —
+    one row per input document (zero-overlap docs included), where
+    ``n_grams`` counts the document's DISTINCT n-gram hashes,
+    ``n_overlap`` those also present in the benchmark, and
+    ``contaminated`` is ``n_overlap > 0``.
+    """
+    bh = benchmark_ngram_hashes(bench, text_col=text_col, n=n)
+    doc_grams = df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
+        id_col,
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(shingles_of(F.col("__t"), n), lambda s: h60(s))
+            )
+        ).alias("__gh"),
+    )
+    hits = doc_grams.join(
+        F.broadcast(bh), doc_grams["__gh"] == bh["__bh"], "left"
+    )
+    out = hits.groupBy(id_col).agg(
+        F.count("__gh").cast("long").alias("n_grams"),
+        F.count("__bh").cast("long").alias("n_overlap"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_overlap",
+        F.round(F.try_divide(F.col("n_overlap"), F.col("n_grams")), 6).alias(
+            "overlap_frac"
+        ),
+        (F.col("n_overlap") > 0).alias("contaminated"),
+    )

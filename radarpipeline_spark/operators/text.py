@@ -170,3 +170,69 @@ def doc_fingerprint(
             )
         ).alias("min_shingle_hash"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (the classic
+    repetition quality filters for training-data curation):
+
+    * ``top_2gram_frac`` — occurrences of the most frequent token
+      2-gram over total 2-gram occurrences (boilerplate / chorus
+      detector);
+    * ``dup_3gram_frac`` — fraction of 3-gram OCCURRENCES whose gram
+      appears more than once in the document (templated-text
+      detector).
+
+    Shape at 100 TB: the lowered token array is materialized once,
+    both gram lengths ride ONE explode (each gram tagged with its n),
+    and the per-(doc, n, gram) counts collapse map-side before the
+    first exchange — the shuffle moves distinct grams per doc, not
+    occurrences.  The second aggregate reuses the same doc-keyed hash
+    partitioning lineage (one narrow re-shuffle on the id alone).
+    Fractions are round(·, 6) of exact integer counts — ulp-safe
+    cross-engine.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+    )
+    grams = base.select(
+        id_col,
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    shingles_of(F.col("__lt"), 2),
+                    lambda s: F.struct(F.lit(2).alias("n"), s.alias("g")),
+                ),
+                F.transform(
+                    shingles_of(F.col("__lt"), 3),
+                    lambda s: F.struct(F.lit(3).alias("n"), s.alias("g")),
+                ),
+            )
+        ).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = grams.groupBy(id_col, "n", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    two, three = F.col("n") == 2, F.col("n") == 3
+    out = counts.groupBy(id_col).agg(
+        F.sum(F.when(two, F.col("cnt"))).cast("long").alias("n_2grams"),
+        F.max(F.when(two, F.col("cnt"))).cast("long").alias("top_2gram_cnt"),
+        F.sum(F.when(three, F.col("cnt"))).cast("long").alias("n_3grams"),
+        F.coalesce(
+            F.sum(F.when(three & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("dup_3gram_occ"),
+    )
+    return out.select(
+        id_col,
+        "n_2grams",
+        "n_3grams",
+        F.round(F.try_divide(F.col("top_2gram_cnt"), F.col("n_2grams")), 6).alias(
+            "top_2gram_frac"
+        ),
+        F.round(F.try_divide(F.col("dup_3gram_occ"), F.col("n_3grams")), 6).alias(
+            "dup_3gram_frac"
+        ),
+    )
