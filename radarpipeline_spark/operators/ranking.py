@@ -13,16 +13,21 @@ Physical shape at 100 TB:
   no shuffle) and aggregates on (doc, term): ONE hash shuffle whose
   map-side partial aggregation collapses repeated terms per doc before
   the exchange, so the shuffle moves postings, not occurrences.
-* document frequency inside ``tfidf_top_terms`` is a WINDOW count over
-  the postings aggregate partitioned by term — one term-keyed shuffle
-  over postings (one row per doc-term pair, never raw tokens), versus
-  the aggregate-then-join-back shape's two exchanges plus both
-  sort-merge legs. A hot stopword term carries at most one posting per
-  document — LINEAR in corpus size, never the quadratic self-join
-  blow-up the dedup family guards against. ``max_df_ratio`` drops such
-  terms right after the window (the classic stopword cut).
-  ``doc_frequencies`` stays as the standalone aggregate for callers
-  that want the (term, df) table itself.
+* document frequency is the ``doc_frequencies`` AGGREGATE over the
+  postings (map-side combine → the term-keyed shuffle moves partial
+  counts, so even a stopword contributes one row per upstream
+  partition), joined back to the postings on term.  NOT a window
+  count: ``Window.partitionBy(term)`` would put a stopword's entire
+  posting list (≈ n_docs rows) into ONE partition that nothing can
+  split — a window is the wrong physical shape for a hot-keyed
+  reduction at corpus scale.  The join is left to the optimizer: AQE
+  runtime-broadcasts a small vocab's (term, df) side and skew-splits
+  the postings shuffle when the vocab is too big to broadcast.
+* the corpus row count is ONE driver-side count (a bounded 1-row
+  collect, the ivf_index pattern) baked in as a literal — not a
+  crossJoined aggregate recomputed per consumer.
+* ``max_df_ratio`` drops stopword terms from the (term, df) side
+  BEFORE the join — the cut prunes the hot keys, not just the output.
 * ``bm25_search`` filters the token array down to the query's terms
   BEFORE exploding (a per-row array filter in the scan stage), so the
   posting list entering the shuffle is bounded by |query| × n_docs;
@@ -100,23 +105,22 @@ def tfidf_top_terms(
     Output: (id, term, tf, df, tfidf, rnk), rnk in 1..top_n.
     """
     tf_df = term_frequencies(df, text_col, id_col)
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    scored = tf_df.withColumn(
-        "df",
-        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
-    ).crossJoin(F.broadcast(n))
+    df_t = doc_frequencies(tf_df)
+    n_docs = df.count()  # bounded driver-side scalar (ivf_index pattern)
     if max_df_ratio is not None:
-        scored = scored.filter(
-            F.col("df") <= F.col("n_docs") * F.lit(float(max_df_ratio))
+        df_t = df_t.filter(
+            F.col("df") <= F.lit(n_docs) * F.lit(float(max_df_ratio))
         )
-    scored = scored.select(
+    scored = tf_df.join(df_t, "term").select(
         id_col,
         "term",
         "tf",
         "df",
         F.round(
             F.col("tf")
-            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            * F.log(
+                (F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            ),
             6,
         ).alias("tfidf"),
     )
