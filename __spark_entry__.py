@@ -2429,14 +2429,52 @@ def _gram_list(n: int, t: str = "t") -> str:
     )
 
 
+def _mix_gram_list(n: int, th: str = "th") -> str:
+    """DuckDB replay of dedup.mix_shingle_hashes for gram length ``n``
+    over a per-token-h60 array column ``th`` (two-lane integer fold
+    mod 2^61-1, incl. the zero-padded short-doc fallback) — the
+    generalized form of the minhash_mix oracle's fold."""
+    from radarpipeline_spark.operators.dedup import (
+        MERSENNE61 as _M,
+        shingle_mix_constants,
+    )
+
+    A, C = shingle_mix_constants(n)
+
+    def fold(vals):
+        terms = []
+        for k, v in enumerate(vals):
+            terms.append(f"(({A[k]}::BIGINT * (({v}) & 4294967295)) % {_M})")
+            terms.append(
+                f"(({C[k]}::BIGINT * ((({v}) >> 32) & 4294967295)) % {_M})"
+            )
+        acc = f"(({terms[0]} + {terms[1]}) % {_M})"
+        for t in terms[2:]:
+            acc = f"(({acc} + {t}) % {_M})"
+        return acc
+
+    full = fold([f"{th}[i+{k}]" for k in range(n)])
+    fb = fold([f"COALESCE({th}[{k + 1}], 0)" for k in range(n)])
+    return (
+        f"CASE WHEN len({th}) >= {n} "
+        f"THEN list_transform(range(1, len({th}) - {n - 2}), i -> {full}) "
+        f"ELSE [{fb}] END"
+    )
+
+
 def oracle_sql():  # noqa: F811
     o = _BASE_ORACLES15()
     o["repetition"] = f"""
 WITH {_LT_CTE},
+thar AS (
+  SELECT doc_id,
+         list_transform(lt, ltx -> {_H60.format(x='ltx')}) AS th
+  FROM toks
+),
 g AS (
-  SELECT doc_id, 2 AS n, unnest({_gram_list(2, 'lt')}) AS g FROM toks
+  SELECT doc_id, 2 AS n, unnest({_mix_gram_list(2)}) AS g FROM thar
   UNION ALL
-  SELECT doc_id, 3 AS n, unnest({_gram_list(3, 'lt')}) AS g FROM toks
+  SELECT doc_id, 3 AS n, unnest({_mix_gram_list(3)}) AS g FROM thar
 ),
 c AS (
   SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt
@@ -2455,16 +2493,19 @@ FROM c GROUP BY doc_id
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
+thar AS (
+  SELECT doc_id,
+         list_transform(t, tkx -> {_H60.format(x='tkx')}) AS th
+  FROM toks
+),
 bh AS (
-  SELECT DISTINCT {_H60.format(x='sh')} AS h
-  FROM (SELECT unnest({_gram_list(8)}) AS sh
-        FROM toks WHERE doc_id % 20 = 0) s
+  SELECT DISTINCT gh AS h
+  FROM (SELECT unnest({_mix_gram_list(8)}) AS gh
+        FROM thar WHERE doc_id % 20 = 0) s
 ),
 dg AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform({_gram_list(8)},
-                s -> {_H60.format(x='s')}))) AS gh
-  FROM toks
+  SELECT doc_id, unnest(list_distinct({_mix_gram_list(8)})) AS gh
+  FROM thar
 )
 SELECT d.doc_id,
        CAST(count(d.gh) AS BIGINT) AS n_grams,

@@ -6,9 +6,9 @@ n around 8-13): any document containing an n-gram that also appears in
 the benchmark is contaminated and gets dropped or audited.  No
 reference counterpart (RADAR-base/radarpipeline has no text
 analytics); built in the dedup family's style: shared tokenization
-(``dedup.tokens``), shared shingle semantics (``dedup.shingles_of``,
-including its short-doc fallback), h60 hashes joined on 61-bit
-integers, and a DuckDB oracle twin replaying the identical chain.
+(``dedup.tokens``), shared shingle semantics (including the short-doc
+fallback), 61-bit integer gram hashes, and a DuckDB oracle twin
+replaying the identical chain.
 
 Physical shape at 100 TB:
 
@@ -23,6 +23,11 @@ Physical shape at 100 TB:
   zero-gram docs alive, and a single groupBy(doc) counts both totals
   and benchmark hits — no join back to the corpus to recover
   non-contaminated rows.
+* gram hashes default to the NUMERIC mix fold (one md5 per TOKEN +
+  ``dedup.mix_shingle_hashes`` — allocation-free per gram); the
+  md5-of-gram-STRING path (``gram_hash="md5"``) allocates a concat
+  string per gram, the single-JVM ceiling the corpus bench quantified
+  for minhash.  Both sides of the join MUST use the same path.
 * counts are exact integers; ``overlap_frac`` is round(·, 6) of their
   ratio — ulp-safe cross-engine.
 """
@@ -32,23 +37,45 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from radarpipeline_spark.operators.dedup import h60, shingles_of, tokens
+from radarpipeline_spark.operators.dedup import (
+    h60,
+    mix_shingle_hashes,
+    shingles_of,
+    tokens,
+)
+
+
+def _gram_hashes(src: DataFrame, text_col: str, n: int, gram_hash: str):
+    """Per-row array of ``n``-gram hashes over ``text_col`` tokens:
+    the numeric mix fold (default) or md5-of-gram-string."""
+    if gram_hash == "mix":
+        return src.select(
+            "*", tokens(text_col).alias("__t")
+        ).select(
+            *src.columns,
+            F.transform(F.col("__t"), lambda t: h60(t)).alias("__th"),
+        ).select(
+            *src.columns, mix_shingle_hashes(F.col("__th"), n).alias("__gs")
+        )
+    return src.select("*", tokens(text_col).alias("__t")).select(
+        *src.columns,
+        F.transform(shingles_of(F.col("__t"), n), lambda s: h60(s)).alias(
+            "__gs"
+        ),
+    )
 
 
 def benchmark_ngram_hashes(
-    bench: DataFrame, text_col: str = "text", n: int = 8
+    bench: DataFrame, text_col: str = "text", n: int = 8,
+    gram_hash: str = "mix",
 ) -> DataFrame:
-    """DISTINCT h60 hashes of the benchmark's token ``n``-grams —
+    """DISTINCT gram hashes of the benchmark's token ``n``-grams —
     one column ``__bh``.  Tokenization and shingle semantics are the
     dedup family's (so the same text always produces the same grams
     on both sides of the decontamination join)."""
     return (
-        bench.select(tokens(text_col).alias("__t"))
-        .select(
-            F.explode_outer(
-                F.transform(shingles_of(F.col("__t"), n), lambda s: h60(s))
-            ).alias("__bh")
-        )
+        _gram_hashes(bench.select(text_col), text_col, n, gram_hash)
+        .select(F.explode_outer("__gs").alias("__bh"))
         .filter(F.col("__bh").isNotNull())
         .distinct()
     )
@@ -60,6 +87,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    gram_hash: str = "mix",
 ) -> DataFrame:
     """Per-document contamination report against ``bench``.
 
@@ -69,16 +97,14 @@ def ngram_decontaminate(
     ``n_overlap`` those also present in the benchmark, and
     ``contaminated`` is ``n_overlap > 0``.
     """
-    bh = benchmark_ngram_hashes(bench, text_col=text_col, n=n)
-    doc_grams = df.select(
-        F.col(id_col), tokens(text_col).alias("__t")
+    bh = benchmark_ngram_hashes(
+        bench, text_col=text_col, n=n, gram_hash=gram_hash
+    )
+    doc_grams = _gram_hashes(
+        df.select(id_col, text_col), text_col, n, gram_hash
     ).select(
         id_col,
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(shingles_of(F.col("__t"), n), lambda s: h60(s))
-            )
-        ).alias("__gh"),
+        F.explode_outer(F.array_distinct(F.col("__gs"))).alias("__gh"),
     )
     hits = doc_grams.join(
         F.broadcast(bh), doc_grams["__gh"] == bh["__bh"], "left"

@@ -185,54 +185,60 @@ def repetition_stats(
       appears more than once in the document (templated-text
       detector).
 
-    Shape at 100 TB: the lowered token array is materialized once,
-    both gram lengths ride ONE explode (each gram tagged with its n),
-    and the per-(doc, n, gram) counts collapse map-side before the
-    first exchange — the shuffle moves distinct grams per doc, not
-    occurrences.  The second aggregate reuses the same doc-keyed hash
-    partitioning lineage (one narrow re-shuffle on the id alone).
-    Fractions are round(·, 6) of exact integer counts — ulp-safe
-    cross-engine.
+    Shape at 100 TB: ZERO exchanges — a per-document multiplicity
+    question never needs a groupBy.  Grams hash to 61-bit integers via
+    the allocation-free numeric mix fold (one md5 per lowered TOKEN +
+    ``dedup.mix_shingle_hashes``; the md5-of-gram-STRING alternative
+    is the single-JVM allocation ceiling the corpus bench quantified),
+    each doc's gram-hash array is sorted IN the scan stage, and run
+    counting over the sorted array (``_repetition_impl``) answers
+    max-multiplicity and singleton-occurrence in O(len log len) per
+    row.  The explode + double-aggregate alternative pays two
+    corpus-wide shuffles moving every distinct gram — measured at 100k
+    docs: 10.2s/32 threads, 8→32-thread efficiency 0.33, vs 2.5s and
+    efficiency 0.94 for this shape (the numeric-simhash scaling
+    class), and the explode variant cannot scale better than its
+    shuffle.  A 61-bit in-doc hash collision would merge two gram
+    counts; the DuckDB twin replays the identical fold, so the gate
+    stays bit-exact by construction.  Fractions are round(·, 6) of
+    exact integer counts — ulp-safe cross-engine.
     """
-    base = df.select(
-        F.col(id_col),
-        F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+    from radarpipeline_spark.operators._repetition_impl import (
+        singleton_count,
+        top_run_len,
     )
-    grams = base.select(
+    from radarpipeline_spark.operators.dedup import mix_shingle_hashes
+
+    base = (
+        df.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), lambda x: F.lower(x)).alias("__lt"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__lt"), lambda t: h60(t)).alias("__th"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_sort(mix_shingle_hashes(F.col("__th"), 2)).alias("__s2"),
+            F.array_sort(mix_shingle_hashes(F.col("__th"), 3)).alias("__s3"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__s2"),
+            F.col("__s3"),
+            F.size("__s2").alias("__n2"),
+            F.size("__s3").alias("__n3"),
+        )
+    )
+    n2, n3 = F.col("__n2").cast("long"), F.col("__n3").cast("long")
+    dup3 = n3 - singleton_count(F.col("__s3"), F.col("__n3")).cast("long")
+    return base.select(
         id_col,
-        F.explode_outer(
-            F.concat(
-                F.transform(
-                    shingles_of(F.col("__lt"), 2),
-                    lambda s: F.struct(F.lit(2).alias("n"), s.alias("g")),
-                ),
-                F.transform(
-                    shingles_of(F.col("__lt"), 3),
-                    lambda s: F.struct(F.lit(3).alias("n"), s.alias("g")),
-                ),
-            )
-        ).alias("ng"),
-    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-    counts = grams.groupBy(id_col, "n", "g").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    two, three = F.col("n") == 2, F.col("n") == 3
-    out = counts.groupBy(id_col).agg(
-        F.sum(F.when(two, F.col("cnt"))).cast("long").alias("n_2grams"),
-        F.max(F.when(two, F.col("cnt"))).cast("long").alias("top_2gram_cnt"),
-        F.sum(F.when(three, F.col("cnt"))).cast("long").alias("n_3grams"),
-        F.coalesce(
-            F.sum(F.when(three & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)
-        ).cast("long").alias("dup_3gram_occ"),
-    )
-    return out.select(
-        id_col,
-        "n_2grams",
-        "n_3grams",
-        F.round(F.try_divide(F.col("top_2gram_cnt"), F.col("n_2grams")), 6).alias(
-            "top_2gram_frac"
-        ),
-        F.round(F.try_divide(F.col("dup_3gram_occ"), F.col("n_3grams")), 6).alias(
-            "dup_3gram_frac"
-        ),
+        n2.alias("n_2grams"),
+        n3.alias("n_3grams"),
+        F.round(
+            F.try_divide(top_run_len(F.col("__s2")), n2), 6
+        ).alias("top_2gram_frac"),
+        F.round(F.try_divide(dup3, n3), 6).alias("dup_3gram_frac"),
     )

@@ -111,6 +111,7 @@ def _ensure_corpus(path: str, n_docs: int) -> None:
 
 def ops(max_doc_freq: int):
     from radarpipeline_spark.operators.curation import curate_documents
+    from radarpipeline_spark.operators.decontam import ngram_decontaminate
     from radarpipeline_spark.operators.dedup import (
         dedup_clusters,
         exact_dedup,
@@ -119,6 +120,8 @@ def ops(max_doc_freq: int):
         ngram_jaccard_pairs,
         simhash,
     )
+    from radarpipeline_spark.operators.ranking import bm25_search, tfidf_top_terms
+    from radarpipeline_spark.operators.text import repetition_stats
 
     return {
         "exact_dedup": lambda df: exact_dedup(df),
@@ -139,6 +142,18 @@ def ops(max_doc_freq: int):
         ),
         "curation": lambda df: curate_documents(
             df, min_tokens=6, min_quality=0.0, dedup=True, sample_pct=60
+        ),
+        # ~240M postings; the 50k-term (term, df) side AQE-broadcasts
+        "tfidf": lambda df: tfidf_top_terms(df, top_n=3, max_df_ratio=0.5),
+        # boilerplate term ('terms', df ~ n/7) + two organic rare terms
+        "bm25": lambda df: bm25_search(
+            df, ["terms", "w11", "w777"], top_k=100
+        ),
+        "repetition": lambda df: repetition_stats(df),
+        # every 1000th doc stands in for the eval set (3k bench docs at
+        # 3M => ~300k distinct 8-gram hashes broadcast)
+        "decontaminate": lambda df: ngram_decontaminate(
+            df, df.filter(F.pmod(F.col("doc_id"), F.lit(1000)) == 0), n=8
         ),
     }
 
