@@ -2516,3 +2516,125 @@ FROM dg d LEFT JOIN bh b ON d.gh = b.h
 GROUP BY d.doc_id
 """
     return o
+
+
+def _pii_decorate(d):
+    """Deterministically plant PII in the synthetic documents (which
+    contain none): every 7th doc gains an email, every 11th a URL,
+    every 13th a phone + IPv4 (first matching rule wins, mirroring the
+    oracle CASE).  Both engines decorate identically, so the regex
+    machinery is what the hash gate grades — with real matches, not
+    vacuous zeros."""
+    dec = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://data.example.org/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call +1555"),
+                (F.lit(1000000) + F.col("doc_id")).cast("string"),
+                F.lit(" or ping 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".25"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), dec).alias("text"))
+
+
+_PII_DECOR_SQL = """
+SELECT doc_id, text ||
+  CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       WHEN doc_id % 11 = 0
+         THEN ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)
+              || ' today'
+       WHEN doc_id % 13 = 0
+         THEN ' call +1555' || CAST(1000000 + doc_id AS VARCHAR)
+              || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+       ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII detection counts over the PII-decorated documents."""
+    from radarpipeline_spark.operators.pii import pii_stats
+
+    return pii_stats(_pii_decorate(_docs(spark, sf_dir)))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing, graded by content hash: the scrubbed text is
+    collapsed to (doc_id, scrub_hash, scrub_len, orig_len) so the gate
+    checks every replacement byte without shipping full texts."""
+    from radarpipeline_spark.operators.pii import pii_scrub
+
+    out = pii_scrub(_pii_decorate(_docs(spark, sf_dir)))
+    from radarpipeline_spark.operators.dedup import h60
+
+    return out.select(
+        "doc_id",
+        h60("text").alias("scrub_hash"),
+        F.length("text").cast("long").alias("scrub_len"),
+        "orig_len",
+    )
+
+
+_BASE_QUERIES16 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES16()
+    q["pii_stats"] = q_pii_stats
+    q["pii_scrub"] = q_pii_scrub
+    return q
+
+
+_BASE_ORACLES16 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    from radarpipeline_spark.operators.pii import PII_PATTERNS
+
+    o = _BASE_ORACLES16()
+    cnt = {
+        name: f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        for name, pat in PII_PATTERNS.items()
+    }
+    cols = ",\n  ".join(f"{c} AS n_{name}s" for name, c in cnt.items())
+    total = " + ".join(cnt.values())
+    o["pii_stats"] = f"""
+WITH d AS ({_PII_DECOR_SQL})
+SELECT doc_id,
+  {cols},
+  ({total}) > 0 AS has_pii
+FROM d
+"""
+    scrub = "text"
+    for name, pat in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    o["pii_scrub"] = f"""
+WITH d AS ({_PII_DECOR_SQL})
+SELECT doc_id,
+       {_H60.format(x=scrub)} AS scrub_hash,
+       CAST(length({scrub}) AS BIGINT) AS scrub_len,
+       CAST(length(text) AS BIGINT) AS orig_len
+FROM d
+"""
+    return o

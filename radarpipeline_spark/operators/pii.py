@@ -1,0 +1,81 @@
+"""PII detection and scrubbing — the standard pre-training redaction
+pass (emails, URLs, IPv4 addresses, phone-like numbers).
+
+No reference counterpart (RADAR-base/radarpipeline has no text
+analytics).  Pure Catalyst regex expressions — whole-stage codegen,
+zero exchanges, no UDFs — in the ``text.py`` family style.
+
+Regex dialect: patterns stay inside the Java-regex ∩ RE2 common
+subset (basic character classes, bounded quantifiers, no lookaround,
+no backreferences) so the DuckDB oracle twin evaluates the IDENTICAL
+pattern bytes; both engines use leftmost-first match semantics, which
+agree on these alternation-free patterns.  Patterns reach Spark via
+``F.lit`` (no SQL-string escaping layer) and DuckDB via a standard
+string literal — the same bytes on both sides.
+
+Shape at 100 TB: both operators are per-row projections in the scan
+stage — ZERO exchanges, trivially linear.  ``pii_scrub`` chains
+``regexp_replace`` in a fixed order (URLs before emails, so the
+user@host authority inside a URL is redacted as part of the URL, not
+mangled into a half-scrubbed email).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# ordered — pii_scrub applies top to bottom; counts are independent
+# per category over the ORIGINAL text (overlaps count in both).
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^ ]+",
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9()\-]{7,}[0-9]",
+}
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII match counts: (id, n_urls, n_emails, n_ips,
+    n_phones, has_pii).  Counts are independent per category over the
+    original text (a URL containing an email-shaped authority counts
+    for both)."""
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        .cast("long")
+        .alias(f"n_{name}s")
+        for name, pat in PII_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col), *counts.values())
+    return out.select(
+        id_col,
+        *[f"n_{name}s" for name in PII_PATTERNS],
+        (
+            sum((F.col(f"n_{name}s") for name in PII_PATTERNS), F.lit(0))
+            > 0
+        ).alias("has_pii"),
+    )
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII in ``text_col``: each category's matches are replaced
+    by its placeholder token (``<URL>``, ``<EMAIL>``, ``<IP>``,
+    ``<PHONE>``), applied in ``PII_PATTERNS`` order.  Output keeps the
+    id and the scrubbed text as ``text`` plus the original length for
+    audit."""
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(
+            scrubbed, F.lit(pat), F.lit(f"<{name.upper()}>")
+        )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("text"),
+        F.length(text_col).cast("long").alias("orig_len"),
+    )

@@ -81,3 +81,38 @@ def test_decontaminate_plan_is_broadcast_and_jvm_only(spark, docs):
     assert "BatchEvalPython" not in plan
     n_bench = benchmark_ngram_hashes(docs.limit(1), n=3).count()
     assert n_bench > 0
+
+
+def test_pii_stats_and_scrub(spark):
+    from radarpipeline_spark.operators.pii import pii_scrub, pii_stats
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org thanks"),
+        (1, "fetch https://example.com/a?b=c#d then stop"),
+        (2, "server at 192.168.1.100 port open"),
+        (3, "call +1(555)123-4567 today"),
+        (4, "nothing sensitive here"),
+        # URL with an email-shaped authority: URL scrub runs first, so
+        # the whole thing collapses to <URL>, never a half-<EMAIL>
+        (5, "login ftp https://user@host.example.com/path ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert st[0].n_emails == 1 and st[0].has_pii is True
+    assert st[1].n_urls == 1 and st[1].n_emails == 0
+    assert st[2].n_ips == 1
+    assert st[3].n_phones == 1
+    assert st[4].has_pii is False
+    # doc 5 counts both (independent per-category counts by contract)
+    assert st[5].n_urls == 1 and st[5].n_emails == 1
+
+    sc = {r.doc_id: r.text for r in pii_scrub(df).collect()}
+    assert sc[0] == "mail me at <EMAIL> thanks"
+    assert sc[1] == "fetch <URL> then stop"
+    assert sc[2] == "server at <IP> port open"
+    assert sc[3] == "call <PHONE> today"
+    assert sc[4] == "nothing sensitive here"
+    assert sc[5] == "login ftp <URL> ok"
+
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
