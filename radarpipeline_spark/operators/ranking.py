@@ -28,6 +28,13 @@ Physical shape at 100 TB:
   crossJoined aggregate recomputed per consumer.
 * ``max_df_ratio`` drops stopword terms from the (term, df) side
   BEFORE the join — the cut prunes the hot keys, not just the output.
+* the tf and df legs share the postings subtree; under AQE (session
+  default) the upstream explode+aggregate executes twice because the
+  stage cache misses the exchange reuse — the same documented,
+  measured trade as the dedup self-joins (a corpus-sized barrier OOMs
+  or loses outright; with ``spark.sql.adaptive.enabled=false``
+  ReuseExchange runs it once).  3M docs, min-of-2: 247.7s@8 →
+  124.2s@32 threads (efficiency 0.50).
 * ``bm25_search`` filters the token array down to the query's terms
   BEFORE exploding (a per-row array filter in the scan stage), so the
   posting list entering the shuffle is bounded by |query| × n_docs;
