@@ -2638,3 +2638,85 @@ SELECT doc_id,
 FROM d
 """
     return o
+
+
+# --- round 6: line-level exact dedup (C4/CCNet boilerplate pass) ----------
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (VERDICT r5 #7).  The
+    synthetic documents carry no newlines, so the query deterministically
+    re-lines them first (literal replace of ' the ' with newline —
+    non-overlapping left-to-right in both engines), which yields short
+    multi-word lines with real cross-document duplicates for the
+    keep-first pass to act on.  Graded by content hash of the
+    reassembled text (the pii_scrub precedent: every surviving byte and
+    the '\\n' rejoin order are checked without shipping full texts)."""
+    from radarpipeline_spark.operators.curation import line_dedup
+    from radarpipeline_spark.operators.dedup import h60
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+    )
+    out = line_dedup(d)
+    return out.select(
+        "doc_id",
+        h60("text").alias("text_hash"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+_BASE_QUERIES17 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES17()
+    q["line_dedup"] = q_line_dedup
+    return q
+
+
+_BASE_ORACLES17 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES17()
+    # keep-first is replayed as a row_number window (fine for the
+    # oracle's small data; the ENGINE uses the aggregate+join shape —
+    # a window over the line hash would be the unsplittable-hot-key
+    # antipattern at corpus scale).  Lines are compared by the same
+    # 61-bit h60 the engine uses, so the twins agree by construction.
+    lh = _H60.format(x="line")
+    o["line_dedup"] = f"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, chr(10)),
+                               (x, i) -> struct_pack(pos := i, line := x)),
+                recursive := true)
+  FROM d
+),
+cand AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY {lh}
+                            ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE line <> ''
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                    ORDER BY pos) AS kept,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM cand GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {_H60.format(x="COALESCE(a.kept, '')")} AS text_hash,
+       COALESCE(a.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+    return o

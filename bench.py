@@ -37,6 +37,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "600000"))
 SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "2"))
 
 
 def log(msg: str) -> None:
@@ -80,16 +81,26 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name, fn in m.queries().items():
-        # plan construction INSIDE the timed region: iterative
-        # operators (dedup_clusters' label-propagation rounds, ivf's
-        # k-means) legitimately run jobs while building their final
-        # plan — timing only the materialize would hide that work
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        out[name] = round(dt, 3)
-        log(f"  {name}: {dt:.2f}s")
+        # min-of-BENCH_QUERY_REPS per query (default 2): the r5 sweep
+        # recorded a co-tenant burst as a 3.5x cell on UNTOUCHED code
+        # (ann_lsh 1.17->4.09s; median inflation 1.34x across all
+        # queries) — a single-shot cell is too fragile to be the round
+        # record.  clearCache() before EVERY rep: an internal persist()
+        # would otherwise hand rep 2 a cross-rep CacheManager hit on
+        # the identical canonicalized plan (the r2 scaling artifact,
+        # 4.7x).  Both reps rebuild the plan from scratch — iterative
+        # operators (dedup_clusters, ivf k-means) legitimately run
+        # jobs while building their final plan, so plan construction
+        # stays INSIDE the timed region.
+        best = float("inf")
+        for rep in range(QUERY_REPS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        log(f"  {name}: {best:.2f}s")
     return out
 
 

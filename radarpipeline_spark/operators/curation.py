@@ -93,3 +93,92 @@ def curate_documents(
         )
         out = out.filter(bucket < sample_pct)
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup — the C4/CCNet boilerplate
+    pass (Raffel et al. 2020 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once", here at line
+    granularity): split each document into lines on ``sep``, keep each
+    distinct non-empty line ONLY at its globally-first occurrence
+    (ordered by (doc_id, line position)), drop every other occurrence
+    — including later repeats inside the same document — and reassemble
+    the survivors in original order.  No reference counterpart
+    (RADAR-base/radarpipeline has no text analytics).
+
+    Output: one row per input document — (id, text, n_lines, n_kept)
+    where ``text`` is the surviving lines rejoined with ``sep`` (empty
+    string when nothing survives; the row itself is never dropped),
+    ``n_lines`` counts the document's non-empty lines and ``n_kept``
+    the survivors.  Lines are compared by their 61-bit content hash
+    (``dedup.h60`` — the exact-dedup trade: a 2^-60 collision merges
+    two distinct lines; the DuckDB twin replays the same hash, so the
+    twins agree by construction).
+
+    Physical shape at 100 TB — three exchanges, all AQE-safe:
+
+    1. first-occurrence table: ``groupBy(line_hash).agg(min(struct(
+       doc, pos)))`` — an AGGREGATE with map-side combine, never a
+       window over the line hash (a boilerplate line's million
+       occurrences would land in ONE unsplittable window partition —
+       the tfidf document-frequency lesson);
+    2. occurrences ⋈ first-occurrence on line hash — AQE skew-splits
+       the hot boilerplate keys; empty-line rows carry a NEGATIVE
+       per-row sentinel key (h60 is non-negative, so they match
+       nothing) instead of a shared null/h60('') key that would put
+       every empty line of the corpus in one join partition;
+    3. per-document reassembly: ``collect_list`` bounded by document
+       size, sorted by position in-task.
+
+    The aggregate side shares the explode subtree with the join's
+    probe side; under AQE's exchange-reuse miss the scan+split
+    re-executes once more — the dedup-family trade (memory-safe, no
+    corpus-sized barrier).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    cand = F.col("line") != ""
+    occ = lines.select(
+        id_col,
+        "pos",
+        "line",
+        cand.alias("__cand"),
+        F.when(cand, h60(F.col("line")))
+        .otherwise(-F.abs(F.xxhash64(F.col(id_col), F.col("pos"))) - 1)
+        .alias("__lh"),
+    )
+    first = (
+        occ.filter(F.col("__cand"))
+        .groupBy("__lh")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+    )
+    joined = occ.join(first, "__lh", "left")
+    kept = (
+        F.col("__cand")
+        & (F.col("__first")[id_col] == F.col(id_col))
+        & (F.col("__first")["pos"] == F.col("pos"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(F.col("__cand").cast("long")).alias("n_lines"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .select(id_col, "text", "n_lines", "n_kept")
+    )

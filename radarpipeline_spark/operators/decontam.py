@@ -16,8 +16,9 @@ Physical shape at 100 TB:
   set (thousands of docs), orders of magnitude under the corpus — and
   is explicitly ``broadcast()``: the corpus-side explode joins against
   it map-side, so the only shuffle is the per-doc count aggregate.
-  (A benchmark too large to broadcast would flip to a shuffle join by
-  removing the hint; the call-side contract documents the assumption.)
+  (``broadcast_bench=False`` flips to the shuffle-join fallback for
+  benchmark sides past broadcast memory — measured threshold notes in
+  BASELINE.md r6.)
 * the corpus crosses the plan ONCE: distinct gram hashes per doc are
   built with array ops in the scan stage, explode_outer keeps
   zero-gram docs alive, and a single groupBy(doc) counts both totals
@@ -88,6 +89,7 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
     n: int = 8,
     gram_hash: str = "mix",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-document contamination report against ``bench``.
 
@@ -96,19 +98,31 @@ def ngram_decontaminate(
     ``n_grams`` counts the document's DISTINCT n-gram hashes,
     ``n_overlap`` those also present in the benchmark, and
     ``contaminated`` is ``n_overlap > 0``.
+
+    ``broadcast_bench`` picks the join strategy for the benchmark's
+    distinct-gram side.  ``True`` (default) force-broadcasts it — the
+    corpus-side explode probes map-side and the only shuffle is the
+    per-doc count aggregate; right for eval sets up to a few million
+    distinct grams (the r6 A/B at 3M docs / 100k-doc bench side =
+    ~9.9M distinct grams ≈ 80MB broadcast still WON — BASELINE.md).
+    ``False`` drops the hint so the join shuffles both sides on the
+    gram hash — the fallback for benchmark sides past driver/executor
+    broadcast memory (hundreds of MB of distinct hashes); it adds a
+    corpus-sized exchange of exploded (doc, gram) rows before the
+    per-doc aggregate, so prefer broadcasting until memory forbids it.
     """
     bh = benchmark_ngram_hashes(
         bench, text_col=text_col, n=n, gram_hash=gram_hash
     )
+    if broadcast_bench:
+        bh = F.broadcast(bh)
     doc_grams = _gram_hashes(
         df.select(id_col, text_col), text_col, n, gram_hash
     ).select(
         id_col,
         F.explode_outer(F.array_distinct(F.col("__gs"))).alias("__gh"),
     )
-    hits = doc_grams.join(
-        F.broadcast(bh), doc_grams["__gh"] == bh["__bh"], "left"
-    )
+    hits = doc_grams.join(bh, doc_grams["__gh"] == bh["__bh"], "left")
     out = hits.groupBy(id_col).agg(
         F.count("__gh").cast("long").alias("n_grams"),
         F.count("__bh").cast("long").alias("n_overlap"),

@@ -27,11 +27,26 @@ from pyspark.sql import DataFrame
 
 # ordered — pii_scrub applies top to bottom; counts are independent
 # per category over the ORIGINAL text (overlaps count in both).
+#
+# Every quantifier that can overlap a failing-start retry is BOUNDED
+# (r6): Java's backtracking matcher retries a failed match at every
+# start position, so an UNBOUNDED local-part/digit-run class is
+# O(run²) on pathological inputs — measured 59s on ONE 200k-char
+# unbroken token under a backtracking engine (a single adversarial
+# document would stall an executor task for minutes), while RE2 stays
+# linear.  RFC bounds (64-char local part, 255-char domain, 18-char
+# phone run) make per-start work constant => whole-document linear in
+# BOTH engines, with identical pattern bytes (RE2 supports bounded
+# repetition; no possessive quantifiers / lookaround, which RE2
+# lacks).  Semantics change only on degenerate inputs (a >64-char
+# local part matches its tail; a 200k-digit run scrubs as many
+# 20-char phones instead of one run) — pinned by
+# test_pii_adversarial_inputs_stay_linear.
 PII_PATTERNS: dict[str, str] = {
     "url": r"https?://[^ ]+",
-    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "email": r"[A-Za-z0-9._%+\-]{1,64}@[A-Za-z0-9.\-]{1,255}\.[A-Za-z]{2,24}",
     "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
-    "phone": r"\+?[0-9][0-9()\-]{7,}[0-9]",
+    "phone": r"\+?[0-9][0-9()\-]{7,18}[0-9]",
 }
 
 

@@ -94,12 +94,35 @@ def doc_frequencies(tf_df: DataFrame) -> DataFrame:
     return tf_df.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
 
+def doc_frequencies_from_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """term → document frequency computed DIRECTLY from the documents
+    (explode of ``array_distinct`` over the lowered tokens), not from
+    the postings aggregate.  Semantically identical to
+    ``doc_frequencies(term_frequencies(df))`` — array_distinct makes
+    each doc contribute a term at most once — but a different physical
+    subtree: it re-tokenizes the corpus (a second scan-stage pass) yet
+    its ONLY exchange is the term-keyed partial-count shuffle (tiny
+    after map-side combine), where the postings-derived leg re-executes
+    the full (doc, term)-keyed postings exchange under AQE's
+    exchange-reuse miss.  The 3M-doc / 240M-posting A/B that made this
+    the tfidf default is in BASELINE.md (r6)."""
+    return (
+        _lowered_tokens(df, text_col, id_col)
+        .select(F.explode(F.array_distinct("__lt")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_n: int = 3,
     max_df_ratio: float | None = None,
+    df_leg: str = "tokens",
 ) -> DataFrame:
     """Top-``top_n`` terms per document by smoothed TF-IDF.
 
@@ -109,10 +132,27 @@ def tfidf_top_terms(
     that fraction of documents before scoring (stopword cut — also the
     skew valve for the term-keyed shuffle at corpus scale).
 
+    ``df_leg`` picks the physical shape of the document-frequency side
+    (identical values either way): ``"tokens"`` (default) derives df
+    straight from the documents via :func:`doc_frequencies_from_docs`
+    — a second tokenizing scan pass whose only exchange is the tiny
+    term-keyed combine; ``"postings"`` derives it from the shared
+    postings aggregate, which under AQE's exchange-reuse miss
+    re-executes the full postings shuffle (VERDICT r5 #2 — the 3M-doc
+    A/B in BASELINE.md r6 made "tokens" the default).
+
+    Note: operator CONSTRUCTION runs one eager ``df.count()`` job (the
+    corpus size baked in as a literal — the ivf_index pattern, cheaper
+    than a crossJoined 1-row aggregate recomputed per consumer); avoid
+    building this lazily inside another plan's hot loop.
+
     Output: (id, term, tf, df, tfidf, rnk), rnk in 1..top_n.
     """
     tf_df = term_frequencies(df, text_col, id_col)
-    df_t = doc_frequencies(tf_df)
+    if df_leg == "tokens":
+        df_t = doc_frequencies_from_docs(df, text_col, id_col)
+    else:
+        df_t = doc_frequencies(tf_df)
     n_docs = df.count()  # bounded driver-side scalar (ivf_index pattern)
     if max_df_ratio is not None:
         df_t = df_t.filter(

@@ -120,6 +120,8 @@ def ops(max_doc_freq: int):
         ngram_jaccard_pairs,
         simhash,
     )
+    from radarpipeline_spark.operators.curation import line_dedup
+    from radarpipeline_spark.operators.pii import pii_scrub, pii_stats
     from radarpipeline_spark.operators.ranking import bm25_search, tfidf_top_terms
     from radarpipeline_spark.operators.text import repetition_stats
 
@@ -143,8 +145,16 @@ def ops(max_doc_freq: int):
         "curation": lambda df: curate_documents(
             df, min_tokens=6, min_quality=0.0, dedup=True, sample_pct=60
         ),
-        # ~240M postings; the 50k-term (term, df) side AQE-broadcasts
+        # ~240M postings; the 50k-term (term, df) side AQE-broadcasts.
+        # A/B (VERDICT r5 #2/#3): "tfidf" = df from a second tokenizing
+        # scan pass (tiny term-keyed combine, default since r6) vs
+        # "tfidf_postings" = df from the shared postings aggregate
+        # (re-executes the full postings exchange under AQE's
+        # exchange-reuse miss)
         "tfidf": lambda df: tfidf_top_terms(df, top_n=3, max_df_ratio=0.5),
+        "tfidf_postings": lambda df: tfidf_top_terms(
+            df, top_n=3, max_df_ratio=0.5, df_leg="postings"
+        ),
         # boilerplate term ('terms', df ~ n/7) + two organic rare terms
         "bm25": lambda df: bm25_search(
             df, ["terms", "w11", "w777"], top_k=100
@@ -154,6 +164,39 @@ def ops(max_doc_freq: int):
         # 3M => ~300k distinct 8-gram hashes broadcast)
         "decontaminate": lambda df: ngram_decontaminate(
             df, df.filter(F.pmod(F.col("doc_id"), F.lit(1000)) == 0), n=8
+        ),
+        # VERDICT r5 #8: realistic benchmark size — a 100k-doc eval set
+        # (every 30th doc at 3M => ~10M distinct 8-gram hashes, ~80MB
+        # exploded long column) probes the broadcast ceiling; _shuffle
+        # is the no-hint fallback on the IDENTICAL input for the A/B
+        "decontaminate_100k": lambda df: ngram_decontaminate(
+            df, df.filter(F.pmod(F.col("doc_id"), F.lit(30)) == 0), n=8
+        ),
+        "decontaminate_100k_shuffle": lambda df: ngram_decontaminate(
+            df,
+            df.filter(F.pmod(F.col("doc_id"), F.lit(30)) == 0),
+            n=8,
+            broadcast_bench=False,
+        ),
+        # VERDICT r5 #5: the PII pair rides the zero-exchange regex
+        # scan class in theory — measure it
+        "pii_stats": lambda df: pii_stats(df),
+        "pii_scrub": lambda df: pii_scrub(df),
+        # VERDICT r5 #7: C4-style line dedup.  The synthetic corpus is
+        # single-line, so re-line it deterministically into 3-token
+        # lines (regex consumes the trailing space, non-overlapping
+        # left-to-right): ~80M lines at 3M docs over a 50k^3 line
+        # space — a realistic mix of unique lines and hot boilerplate
+        # (every 7th doc's leading lines collide corpus-wide)
+        "line_dedup": lambda df: line_dedup(
+            df.select(
+                "doc_id",
+                F.regexp_replace(
+                    F.col("text"),
+                    r"(\S+) (\S+) (\S+) ",
+                    "$1 $2 $3\n",
+                ).alias("text"),
+            )
         ),
     }
 
