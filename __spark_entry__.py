@@ -1816,6 +1816,9 @@ def q_sessionize_stream(spark, sf_dir):
             q.awaitTermination(600)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", _sp)
+        from radarpipeline_spark.streaming.audit import register
+
+        register(name.removesuffix("_sink"), q)  # plan_audit: last batch
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
         if n_batches < 2:
             raise RuntimeError(
@@ -2129,6 +2132,9 @@ def q_rolling_stream(spark, sf_dir):
             q.awaitTermination(600)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", _sp)
+        from radarpipeline_spark.streaming.audit import register
+
+        register(name.removesuffix("_sink"), q)  # plan_audit: last batch
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
         if n_batches < 2:
             raise RuntimeError(
@@ -2243,6 +2249,9 @@ def q_curation_stream(spark, sf_dir):
             q.awaitTermination(600)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", _sp)
+        from radarpipeline_spark.streaming.audit import register
+
+        register(name.removesuffix("_sink"), q)  # plan_audit: last batch
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
         if n_batches < 2:
             raise RuntimeError(
@@ -2718,5 +2727,117 @@ SELECT d.doc_id,
        COALESCE(a.n_lines, CAST(0 AS BIGINT)) AS n_lines,
        COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
 FROM d LEFT JOIN agg a USING (doc_id)
+"""
+    return o
+
+
+# --- round 6: corpus rollup + per-domain provenance stats -----------------
+
+
+def q_corpus_stats(spark, sf_dir):
+    """One-row corpus rollup (docs, total/distinct tokens, exact
+    dyadic token-count quartiles, integer-micros mean)."""
+    from radarpipeline_spark.operators.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain URL provenance rollup.  The synthetic documents
+    carry no URLs, so the query plants deterministic multi-domain URLs
+    first (every 3rd doc a cdn{0..4} shard host, every 7th a mirror
+    host — the overlap at lcm 21 gives docs with BOTH) and both
+    engines decorate identically; the regex extraction + the
+    domain-keyed aggregate are what the gate grades."""
+    from radarpipeline_spark.operators.text import domain_stats
+
+    d = _docs(spark, sf_dir)
+    dec = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://cdn"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.net/item/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" via http://mirror.example.com/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" done"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return domain_stats(
+        d.select("doc_id", F.concat(F.col("text"), dec).alias("text"))
+    )
+
+
+_BASE_QUERIES18 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES18()
+    q["corpus_stats"] = q_corpus_stats
+    q["domain_stats"] = q_domain_stats
+    return q
+
+
+_BASE_ORACLES18 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES18()
+    o["corpus_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         quantile_cont(len(toks), 0.25) AS p25_tokens,
+         quantile_cont(len(toks), 0.5)  AS p50_tokens,
+         quantile_cont(len(toks), 0.75) AS p75_tokens
+  FROM t
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+  FROM (SELECT unnest(toks) AS tok FROM t)
+)
+SELECT n_docs, total_tokens, distinct_tokens,
+       CAST((CAST(total_tokens AS HUGEINT) * 1000000) // n_docs
+            AS BIGINT) / 1000000.0 AS mean_doc_tokens,
+       p25_tokens, p50_tokens, p75_tokens
+FROM summary, vocab
+"""
+    o["domain_stats"] = """
+WITH d AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' see https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example.net/item/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' via http://mirror.example.com/'
+                   || CAST(doc_id AS VARCHAR) || ' done'
+              ELSE '' END AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+  FROM d
+)
+SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u
+GROUP BY domain
 """
     return o

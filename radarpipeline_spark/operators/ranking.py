@@ -30,11 +30,12 @@ Physical shape at 100 TB:
   BEFORE the join — the cut prunes the hot keys, not just the output.
 * the tf and df legs share the postings subtree; under AQE (session
   default) the upstream explode+aggregate executes twice because the
-  stage cache misses the exchange reuse — the same documented,
-  measured trade as the dedup self-joins (a corpus-sized barrier OOMs
-  or loses outright; with ``spark.sql.adaptive.enabled=false``
-  ReuseExchange runs it once).  3M docs, min-of-2: 247.7s@8 →
-  124.2s@32 threads (efficiency 0.50).
+  stage cache misses the exchange reuse.  The r6 three-way A/B at 3M
+  docs (local[32], min-of-2) proved this the FASTEST shape anyway:
+  postings+AQE 89.7s vs AQE-off ReuseExchange (one postings
+  execution) 121.6s vs a re-tokenizing df leg 129.4s — AQE's runtime
+  coalescing/skew handling buys more than the duplicated subtree
+  costs.  See ``tfidf_top_terms(df_leg=...)``.
 * ``bm25_search`` filters the token array down to the query's terms
   BEFORE exploding (a per-row array filter in the scan stage), so the
   posting list entering the shuffle is bounded by |query| × n_docs;
@@ -122,7 +123,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     top_n: int = 3,
     max_df_ratio: float | None = None,
-    df_leg: str = "tokens",
+    df_leg: str = "postings",
 ) -> DataFrame:
     """Top-``top_n`` terms per document by smoothed TF-IDF.
 
@@ -133,13 +134,16 @@ def tfidf_top_terms(
     skew valve for the term-keyed shuffle at corpus scale).
 
     ``df_leg`` picks the physical shape of the document-frequency side
-    (identical values either way): ``"tokens"`` (default) derives df
-    straight from the documents via :func:`doc_frequencies_from_docs`
-    — a second tokenizing scan pass whose only exchange is the tiny
-    term-keyed combine; ``"postings"`` derives it from the shared
-    postings aggregate, which under AQE's exchange-reuse miss
-    re-executes the full postings shuffle (VERDICT r5 #2 — the 3M-doc
-    A/B in BASELINE.md r6 made "tokens" the default).
+    (identical values either way).  The r6 three-way A/B at 3M docs /
+    ~240M postings, local[32] min-of-2 (BASELINE.md) settled it:
+    ``"postings"`` (default) — df from the shared postings aggregate,
+    which under AQE executes the postings subtree twice — won at
+    89.7s, beating ``"tokens"`` (df re-derived from the documents via
+    :func:`doc_frequencies_from_docs`; a second tokenizing scan pass
+    turns out costlier than the re-executed exchange, 129.4s) AND the
+    AQE-off ReuseExchange variant VERDICT r5 #2 proposed (one postings
+    execution but no runtime coalescing/skew-splitting, 121.6s).  AQE
+    stays on; the dup-subtree "trade" is in fact the fastest shape.
 
     Note: operator CONSTRUCTION runs one eager ``df.count()`` job (the
     corpus size baked in as a literal — the ivf_index pattern, cheaper

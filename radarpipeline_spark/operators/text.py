@@ -112,6 +112,98 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus rollup — the summary a curation run logs per
+    snapshot: document count, total and DISTINCT whitespace tokens,
+    mean document length, and exact dyadic token-count quartiles.
+
+    Physical shape at 100 TB: two legs over one scan each —
+    (a) per-doc token counts → a single global aggregate (partial
+    map-side combine; ``percentile`` at the dyadic points .25/.5/.75
+    interpolates exactly on integer inputs, the latency_quartiles
+    recipe); (b) explode→distinct-count for vocabulary size, a
+    two-phase partial-distinct aggregate on the token key.  The two
+    1-row results cross-join via broadcast (no data movement).
+
+    ``mean_doc_tokens`` goes through integer micros then ONE division
+    by 1e6 (``total*1_000_000 div n`` in DECIMAL(38,0)/HUGEINT — a
+    10^13-token corpus would overflow int64 at the ×1e6 step — is
+    exact integer math in both engines; a round(sum/n, 6) could tie
+    on the 1e-6 lattice where Spark and DuckDB round differently).
+    """
+    per_doc = df.select(F.size(tokens(text_col)).alias("__ntok"))
+    summary = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("total_tokens"),
+        F.expr(
+            "percentile(__ntok, array(0.25D, 0.5D, 0.75D))"
+        ).alias("__q"),
+    )
+    vocab = (
+        df.select(F.explode_outer(tokens(text_col)).alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .agg(F.count_distinct("__tok").cast("long").alias("distinct_tokens"))
+    )
+    return summary.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "total_tokens",
+        "distinct_tokens",
+        (
+            F.expr(
+                "(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs)"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_doc_tokens"),
+        F.col("__q")[0].alias("p25_tokens"),
+        F.col("__q")[1].alias("p50_tokens"),
+        F.col("__q")[2].alias("p75_tokens"),
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain URL rollup — the provenance view curation pipelines
+    group quality decisions by: extract every URL (the shared
+    ``pii.PII_PATTERNS['url']`` regex, identical bytes in the DuckDB
+    twin), take its authority, and count mentions and distinct
+    documents per domain.
+
+    Shape at 100 TB: regex extraction rides the scan stage (zero
+    exchanges), then ONE shuffle on the domain key with map-side
+    partial aggregation; ``count_distinct(doc)`` is the standard
+    two-phase partial-distinct expansion.  Hot domains (a CDN hosting
+    half the corpus) are aggregate keys, not window partitions — AQE
+    skew handling applies.
+    """
+    from radarpipeline_spark.operators.pii import PII_PATTERNS
+
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(PII_PATTERNS["url"]), F.lit(0)
+            )
+        ).alias("__url"),
+    )
+    return (
+        urls.select(
+            id_col,
+            F.regexp_extract(
+                F.col("__url"), r"https?://([^/ ]+)", 1
+            ).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language heuristic: argmax language by stopword
     hits per token; 'und' (undetermined) when no stopwords hit.

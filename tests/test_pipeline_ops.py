@@ -826,3 +826,39 @@ def test_line_dedup_keep_first_semantics(spark):
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_stats_rollup(spark):
+    from radarpipeline_spark.operators.text import corpus_stats
+
+    rows = [
+        (0, "a b c d"),        # 4 tokens
+        (1, "a b"),            # 2
+        (2, "x y z"),          # 3
+        (3, "a"),              # 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus_stats(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_docs == 4 and r.total_tokens == 10
+    assert r.distinct_tokens == 7            # {a b c d x y z}
+    assert r.mean_doc_tokens == 2.5
+    # sorted counts [1,2,3,4]: p25 = 1.75, p50 = 2.5, p75 = 3.25
+    assert (r.p25_tokens, r.p50_tokens, r.p75_tokens) == (1.75, 2.5, 3.25)
+
+
+def test_domain_stats_counts(spark):
+    from radarpipeline_spark.operators.text import domain_stats
+
+    rows = [
+        (0, "see https://a.example.com/x and https://a.example.com/y"),
+        (1, "ftp none here"),
+        (2, "https://b.example.org/z plus http://a.example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.domain: r for r in domain_stats(df).collect()}
+    assert out["a.example.com"].n_urls == 3
+    assert out["a.example.com"].n_docs == 2      # docs 0 and 2
+    assert out["b.example.org"].n_urls == 1
+    assert set(out) == {"a.example.com", "b.example.org"}

@@ -161,3 +161,107 @@ def test_chunked_asof_multi_value_atomicity(spark):
     assert rows[74]["asof_x"] == 1.0                    # ts=2960s: still first row
     assert rows[75]["asof_x"] == 2.0 and rows[75]["asof_y"] is None  # atomic carry
     assert rows[199]["asof_x"] == 2.0 and rows[199]["asof_y"] is None
+
+
+# --- r6 stretch (VERDICT r5 #9): drawn-cut leakage at scale ---------------
+
+
+def _tie_dense_asof_input(spark):
+    """A 250k-turn input built to stress the chunked+tie-halo path:
+    one 200k-turn conversation whose ts advances only every 3rd turn
+    (so EVERY chunk boundary of chunk_rows=1024 — 1024 % 3 != 0 —
+    splits a timestamp tie across chunks), plus a normal 50k-turn
+    conversation.  Right side: one signal per 7th second, unique ts
+    per entity.  Fully distributed generation (spark.range)."""
+    base = 1_700_000_000
+    l1 = spark.range(200_000).select(
+        F.lit("giant").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_seconds(base + (F.col("id") / 3).cast("long"))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+    l2 = spark.range(50_000).select(
+        F.lit("small").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_seconds(base + F.col("id") * 2)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+    left = l1.unionByName(l2)
+    r1 = spark.range(0, 200_000 // 3, 7).select(
+        F.lit("giant").alias("conv_id"),
+        F.timestamp_seconds(base + F.col("id"))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        (F.col("id") * F.lit(1.5)).alias("signal"),
+    )
+    r2 = spark.range(0, 100_000, 14).select(
+        F.lit("small").alias("conv_id"),
+        F.timestamp_seconds(base + F.col("id"))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        (F.col("id") * F.lit(-2.0)).alias("signal"),
+    )
+    return left, r1.unionByName(r2), base
+
+
+def _assert_no_asof_leak(spark, left, right, T):
+    """north_rule zero-temporal-leakage at the operator level: the
+    as-of output for every left row at ts <= T must be unchanged when
+    the right side is truncated at T (no backfilled feature may read a
+    right row at ts' > ts).  Left side stays FULL both times, so chunk
+    spans and tie halos are identical — isolating what the truncation
+    can change to exactly the leakage surface."""
+    from radarpipeline_spark.operators.skew import chunked_asof_join
+
+    full = chunked_asof_join(left, right, chunk_rows=1024).filter(
+        F.col("ts") <= F.lit(T)
+    )
+    trunc = chunked_asof_join(
+        left, right.filter(F.col("ts") <= F.lit(T)), chunk_rows=1024
+    ).filter(F.col("ts") <= F.lit(T))
+    a, b = _normalize(full), _normalize(trunc)
+    n = full.count()
+    assert n == trunc.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    return n
+
+
+def test_chunked_asof_leakage_drawn_cuts_at_scale(spark):
+    """Drawn cut points (seconds-quantized, so every T lands exactly ON
+    a tied timestamp — the adversarial case where a right row at T is
+    shared by left rows in two adjacent chunks via the tie halo)."""
+    import datetime as dt
+
+    left, right, base = _tie_dense_asof_input(spark)
+    max_sec = 200_000 // 3
+    for cut in (0.137, 0.5, 0.874):
+        T = dt.datetime.utcfromtimestamp(base + int(max_sec * cut))
+        _assert_no_asof_leak(spark, left, right, T)
+
+
+def test_chunked_asof_leakage_exact_boundary_cut(spark):
+    """The sharpest edge: cut T exactly at a chunk-boundary timestamp
+    of the giant conversation (turn 102400 = chunk 100's first row,
+    whose ts ties with chunk 99's tail rows).  A tie-halo bug that
+    leaks the boundary right row to the WRONG side of the cut shows up
+    only here.  Also pins chunked == plain at this scale/tie density."""
+    import datetime as dt
+
+    from radarpipeline_spark.operators import asof_join
+    from radarpipeline_spark.operators.skew import chunked_asof_join
+
+    left, right, base = _tie_dense_asof_input(spark)
+    T = dt.datetime.utcfromtimestamp(base + (102_400 // 3))
+    _assert_no_asof_leak(spark, left, right, T)
+    plain = _normalize(
+        asof_join(left, right).filter(F.col("ts") <= F.lit(T))
+    )
+    chunked = _normalize(
+        chunked_asof_join(left, right, chunk_rows=1024).filter(
+            F.col("ts") <= F.lit(T)
+        )
+    )
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0

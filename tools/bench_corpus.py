@@ -146,14 +146,14 @@ def ops(max_doc_freq: int):
             df, min_tokens=6, min_quality=0.0, dedup=True, sample_pct=60
         ),
         # ~240M postings; the 50k-term (term, df) side AQE-broadcasts.
-        # A/B (VERDICT r5 #2/#3): "tfidf" = df from a second tokenizing
-        # scan pass (tiny term-keyed combine, default since r6) vs
-        # "tfidf_postings" = df from the shared postings aggregate
-        # (re-executes the full postings exchange under AQE's
-        # exchange-reuse miss)
+        # r6 A/B (VERDICT r5 #2/#3): "tfidf" = the default postings-
+        # derived df (dup subtree under AQE — measured FASTEST, 89.7s
+        # min-of-2@32) vs "tfidf_tokens" = df from a second tokenizing
+        # scan pass (129.4s); the AQE-off ReuseExchange variant
+        # (121.6s) is a one-off in BASELINE.md r6
         "tfidf": lambda df: tfidf_top_terms(df, top_n=3, max_df_ratio=0.5),
-        "tfidf_postings": lambda df: tfidf_top_terms(
-            df, top_n=3, max_df_ratio=0.5, df_leg="postings"
+        "tfidf_tokens": lambda df: tfidf_top_terms(
+            df, top_n=3, max_df_ratio=0.5, df_leg="tokens"
         ),
         # boilerplate term ('terms', df ~ n/7) + two organic rare terms
         "bm25": lambda df: bm25_search(
