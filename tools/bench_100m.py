@@ -31,12 +31,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=4_600_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--path",
+        type=str,
+        default="",
+        help="existing synthesized table (skips generation; the "
+        "synthesizer is seed-deterministic so any prior round's table "
+        "of the same shape is byte-identical)",
+    )
     args = ap.parse_args()
 
     from radarpipeline_spark import get_spark
     from radarpipeline_spark.operators.skew import skew_routed_feature_vector
 
-    path = f"/tmp/bench_100m_{args.convs}.parquet"
+    path = args.path or f"/tmp/bench_100m_{args.convs}.parquet"
     n_turns = _gen(path, args.convs, skew_convs=4, skew_len=5_000_000)
     log(f"input: {n_turns} turns")
 
