@@ -120,25 +120,29 @@ def line_dedup(
     two distinct lines; the DuckDB twin replays the same hash, so the
     twins agree by construction).
 
-    Physical shape at 100 TB — three exchanges, all AQE-safe:
+    Physical shape at 100 TB — the LINE TEXT never rides a line-keyed
+    exchange (the first design shipped it through both the hash join
+    and the reassembly groupBy; across real executor JVMs that
+    serialized the whole corpus twice and 4×8 local-cluster ran 0.60×
+    of 1×8 — the r6 probe that forced this redesign):
 
-    1. first-occurrence table: ``groupBy(line_hash).agg(min(struct(
+    1. lines are hashed IN THE SCAN STAGE and the string is dropped —
+       everything downstream moves (doc, pos, hash) rows (~20 bytes);
+    2. first-occurrence table: ``groupBy(line_hash).agg(min(struct(
        doc, pos)))`` — an AGGREGATE with map-side combine, never a
        window over the line hash (a boilerplate line's million
        occurrences would land in ONE unsplittable window partition —
        the tfidf document-frequency lesson);
-    2. occurrences ⋈ first-occurrence on line hash — AQE skew-splits
-       the hot boilerplate keys; empty-line rows carry a NEGATIVE
-       per-row sentinel key (h60 is non-negative, so they match
-       nothing) instead of a shared null/h60('') key that would put
-       every empty line of the corpus in one join partition;
-    3. per-document reassembly: ``collect_list`` bounded by document
-       size, sorted by position in-task.
-
-    The aggregate side shares the explode subtree with the join's
-    probe side; under AQE's exchange-reuse miss the scan+split
-    re-executes once more — the dedup-family trade (memory-safe, no
-    corpus-sized barrier).
+    3. occurrences ⋈ first-occurrence on line hash — narrow rows; AQE
+       skew-splits the hot boilerplate keys; empty-line rows carry a
+       NEGATIVE per-row sentinel key (h60 is non-negative, so they
+       match nothing) instead of a shared null/h60('') key that would
+       put every empty line of the corpus in one join partition;
+    4. kept POSITIONS aggregate per document (an int array, orders of
+       magnitude under the text) and join back to the documents on the
+       doc key — the only exchange the text crosses (zero if the
+       source is bucketed by doc id); the surviving text is rebuilt
+       in-task by indexing the re-split array.
     """
     lines = df.select(
         F.col(id_col),
@@ -148,7 +152,6 @@ def line_dedup(
     occ = lines.select(
         id_col,
         "pos",
-        "line",
         cand.alias("__cand"),
         F.when(cand, h60(F.col("line")))
         .otherwise(-F.abs(F.xxhash64(F.col(id_col), F.col("pos"))) - 1)
@@ -165,20 +168,42 @@ def line_dedup(
         & (F.col("__first")[id_col] == F.col(id_col))
         & (F.col("__first")["pos"] == F.col("pos"))
     )
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(kept, F.struct("pos", "line")))
-                    ),
-                    lambda s: s["line"],
-                ),
-                sep,
-            ).alias("text"),
-            F.sum(F.col("__cand").cast("long")).alias("n_lines"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-        )
-        .select(id_col, "text", "n_lines", "n_kept")
+    per_doc = joined.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.when(kept, F.col("pos")))).alias(
+            "__keep"
+        ),
+        F.sum(F.col("__cand").cast("long")).alias("n_lines"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+    # The RAW text string crosses the join (splitting before it would
+    # ship an array<string> — fatter serialization and a costlier SMJ
+    # sort; measured slower).  The split is projected AFTER the join
+    # and referenced twice in the final select (the size() guard is
+    # always true): a multi-referenced alias blocks CollapseProject
+    # from inlining split() into the transform lambda, where the
+    # interpreted HOF would re-split the document once PER KEPT LINE.
+    base = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
+    joined_docs = base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.split(F.col("__txt"), sep, -1).alias("__arr"),
+        "__keep",
+        "n_lines",
+        "n_kept",
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.coalesce(
+                F.col("__keep"), F.expr("CAST(array() AS array<int>)")
+            ),
+            lambda p: F.element_at(F.col("__arr"), p + F.lit(1)),
+        ),
+        sep,
+    )
+    return joined_docs.select(
+        id_col,
+        F.when(F.size("__arr") >= 0, rebuilt).otherwise(F.lit("")).alias(
+            "text"
+        ),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
