@@ -2841,3 +2841,51 @@ FROM u
 GROUP BY domain
 """
     return o
+
+
+# --- round 6: frequency-based vocabulary build ----------------------------
+
+
+def q_vocab_top(spark, sf_dir):
+    """Top-100 vocabulary terms by document frequency (ties broken on
+    term ascending — a deterministic cross-engine cut)."""
+    from radarpipeline_spark.operators.ranking import vocabulary
+
+    return vocabulary(_docs(spark, sf_dir), top_k=100)
+
+
+_BASE_QUERIES19 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES19()
+    q["vocab_top"] = q_vocab_top
+    return q
+
+
+_BASE_ORACLES19 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES19()
+    o["vocab_top"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> lower(x))) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+),
+v AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+)
+SELECT term, df, total_tf FROM v
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+    return o

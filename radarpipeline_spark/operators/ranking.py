@@ -253,3 +253,34 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Frequency-based vocabulary build — the corpus-wide (term,
+    document frequency, total term frequency) table a tokenizer or
+    frequency-filtered vocab is trained from.
+
+    Output: (term, df, total_tf), ordered by (df DESC, term ASC) —
+    the term tiebreak makes any ``top_k`` cut deterministic and
+    cross-engine stable.  ``top_k=None`` returns the full vocabulary
+    unordered-contract (the driver compare sorts rows anyway).
+
+    Shape at 100 TB: rides the :func:`term_frequencies` postings
+    aggregate (one (doc, term)-keyed exchange with map-side combine),
+    then ONE term-keyed aggregate whose map-side partials bound the
+    shuffle at |vocab| × upstream partitions; ``top_k`` lowers to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    v = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    if top_k is not None:
+        v = v.orderBy(F.col("df").desc(), F.col("term").asc()).limit(top_k)
+    return v

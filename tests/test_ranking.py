@@ -137,3 +137,23 @@ def test_bm25_requires_terms_and_is_jvm_only(spark, docs):
     ):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def test_vocabulary_counts_and_topk_determinism(spark):
+    from radarpipeline_spark.operators.ranking import vocabulary
+
+    rows = [
+        (0, "a b a"),      # a: tf 2; b: tf 1
+        (1, "b c"),
+        (2, "a c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r.term: (r.df, r.total_tf) for r in vocabulary(df).collect()}
+    assert full == {"a": (2, 3), "b": (2, 2), "c": (2, 3)}
+    # all terms tie on df=2 -> the term-ascending tiebreak makes the
+    # top-2 cut deterministic
+    top = vocabulary(df, top_k=2).collect()
+    assert [r.term for r in top] == ["a", "b"]
+    # top-k lowers to a per-partition heap, not a global sort
+    plan = vocabulary(df, top_k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
