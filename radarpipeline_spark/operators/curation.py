@@ -20,6 +20,7 @@ Physical shape at 100 TB:
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -144,17 +145,39 @@ def line_dedup(
        source is bucketed by doc id); the surviving text is rebuilt
        in-task by indexing the re-split array.
     """
+    # F.split interprets its pattern as a Java regex while array_join
+    # (and the DuckDB twin) treat ``sep`` literally — escape it so a
+    # sep with regex metacharacters (e.g. '.') splits/rejoins
+    # consistently.  re.escape backslash-escapes exactly the
+    # non-word punctuation/whitespace chars, all of which Java regex
+    # accepts as literal escapes; for the default '\n' the escaped
+    # pattern is value-identical to the raw one.
+    sep_pat = re.escape(sep)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pat, -1)).alias(
+            "pos", "line"
+        ),
     )
     cand = F.col("line") != ""
+    # Empty-line sentinel: force the sign bit with bitwiseOR(Long.MIN)
+    # — always negative (h60 is non-negative, so sentinels match
+    # nothing in ``first``) and overflow-free.  The previous
+    # ``-abs(xxhash64)-1`` threw ARITHMETIC_OVERFLOW under ANSI mode
+    # when xxhash64 returned Long.MIN_VALUE (a 2^-64-per-empty-line
+    # event that could kill a corpus-scale job — ADVICE r6).  Sentinel
+    # collisions are harmless (the key only needs to MISS the join);
+    # per-row spread just keeps empty lines off a single hot key.
     occ = lines.select(
         id_col,
         "pos",
         cand.alias("__cand"),
         F.when(cand, h60(F.col("line")))
-        .otherwise(-F.abs(F.xxhash64(F.col(id_col), F.col("pos"))) - 1)
+        .otherwise(
+            F.xxhash64(F.col(id_col), F.col("pos")).bitwiseOR(
+                F.lit(-(2 ** 63))
+            )
+        )
         .alias("__lh"),
     )
     first = (
@@ -185,7 +208,7 @@ def line_dedup(
     base = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
     joined_docs = base.join(per_doc, id_col, "left").select(
         F.col(id_col),
-        F.split(F.col("__txt"), sep, -1).alias("__arr"),
+        F.split(F.col("__txt"), sep_pat, -1).alias("__arr"),
         "__keep",
         "n_lines",
         "n_kept",
