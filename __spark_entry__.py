@@ -2898,6 +2898,90 @@ LIMIT 20
     return o
 
 
+# --- round 7: cross-snapshot incremental dedup ----------------------------
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a nightly crawl delta against an existing
+    snapshot's signature index — the production cross-snapshot shape
+    (the full corpus is never re-deduplicated; the index streams once).
+
+    Split models a re-crawl: the index holds doc_id % 4 != 0, the
+    delta holds doc_id % 4 == 0 (genuinely new pages — near-dup leg)
+    plus doc_id % 16 == 1 (already-indexed pages crawled again —
+    byte-identical, so the exact leg fires on them)."""
+    from radarpipeline_spark.operators.incremental import (
+        band_signature_index,
+        incremental_dedup,
+    )
+
+    d = _docs(spark, sf_dir)
+    new = d.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 16 == 1))
+    idx = band_signature_index(
+        d.filter(F.col("doc_id") % 4 != 0), n_hashes=8, bands=4
+    )
+    return incremental_dedup(new, idx, n_hashes=8, bands=4)
+
+
+_BASE_QUERIES20 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES20()
+    q["dedup_incremental"] = q_dedup_incremental
+    return q
+
+
+_BASE_ORACLES20 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES20()
+    # Replays the full chain: mix-fold minhash over every doc (per-doc
+    # signatures are independent of corpus membership, so computing
+    # them over `documents` then filtering per side is identical to
+    # the engine's per-side computation), the lsh_pairs_mix banding,
+    # the h60 content hash, and the same status CASE.
+    o["dedup_incremental"] = f"""
+WITH {_mix_mh_cte(3)},
+bs AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2) AS INTEGER) AS band,
+         {_H60.format(x="array_to_string(list_sort(list(minhash)), ',')")} AS band_sig
+  FROM mh GROUP BY doc_id, CAST(floor(hash_idx / 2) AS INTEGER)
+),
+newd AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 4 = 0 OR doc_id % 16 = 1
+),
+idxd AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0),
+idx_hash AS (
+  SELECT {_H60.format(x='d.text')} AS chash, min(d.doc_id) AS exact_of
+  FROM documents d JOIN idxd USING (doc_id) GROUP BY 1
+),
+exact AS (
+  SELECT n.doc_id, ih.exact_of
+  FROM newd n LEFT JOIN idx_hash ih ON {_H60.format(x='n.text')} = ih.chash
+),
+near AS (
+  SELECT nb.doc_id,
+         CAST(count(DISTINCT ib.doc_id) AS BIGINT) AS n_cand,
+         min(ib.doc_id) AS near_of
+  FROM bs nb
+  JOIN bs ib ON nb.band = ib.band AND nb.band_sig = ib.band_sig
+  JOIN newd n ON nb.doc_id = n.doc_id
+  JOIN idxd i ON ib.doc_id = i.doc_id
+  GROUP BY nb.doc_id
+)
+SELECT e.doc_id, e.exact_of,
+       COALESCE(nr.n_cand, 0) AS n_cand, nr.near_of,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+            WHEN nr.n_cand > 0 THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM exact e LEFT JOIN near nr ON e.doc_id = nr.doc_id
+"""
+    return o
+
+
 # --- registry ordering: keep every distinct operator family inside the
 # --- driver's 50-row correctness window --------------------------------
 #

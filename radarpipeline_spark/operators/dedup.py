@@ -266,6 +266,43 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    shingle_hash: str = "mix",
+) -> DataFrame:
+    """(id, band, band_sig) — each document's LSH band signatures
+    (band_sig = h60 over the band's sorted minhash values), the shared
+    banding chain behind :func:`lsh_candidate_pairs` and the
+    cross-snapshot index of ``operators/incremental.py``.  One
+    (doc, hash_idx)-grain aggregate with map-side combine; no join."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_len, shingle_hash
+    )
+    return (
+        # explicit floor: SQL engines disagree on double->int cast
+        # semantics (DuckDB rounds, Spark truncates)
+        sig.withColumn("band", F.floor(F.col("hash_idx") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            h60(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("minhash")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -308,26 +345,8 @@ def lsh_candidate_pairs(
     boilerplate noise, not near-duplicates.  Buckets at the graded SFs
     sit orders of magnitude under the cap, so the default changes
     nothing there; pass ``None`` to keep every bucket."""
-    rows = n_hashes // bands
-    sig = minhash_signatures(
-        df, text_col, id_col, n_hashes, shingle_len, shingle_hash
-    )
-    band_sigs = (
-        # explicit floor: SQL engines disagree on double->int cast
-        # semantics (DuckDB rounds, Spark truncates)
-        sig.withColumn("band", F.floor(F.col("hash_idx") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            h60(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list("minhash")),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_sig")
-        )
+    band_sigs = band_signatures(
+        df, text_col, id_col, n_hashes, bands, shingle_len, shingle_hash
     )
     # band_sigs feeds both sides of the self-join with NO
     # materialization barrier: the sides' exchange subtrees are

@@ -1,0 +1,160 @@
+"""Cross-snapshot incremental deduplication — dedup NEW documents
+against the signature/hash index of an EXISTING corpus.
+
+This is the shape a production 100 TB pipeline actually runs nightly:
+the accumulated index (billions of docs, persisted once per snapshot)
+is joined against a comparatively small delta of newly crawled
+documents, instead of re-deduplicating the whole corpus from scratch.
+The intra-snapshot problem (new-vs-new) stays with the existing
+``exact_dedup`` / ``lsh_candidate_pairs`` operators; this module owns
+the asymmetric new-vs-index legs.  No reference counterpart
+(RADAR-base/radarpipeline, ``radarpipeline/project/sparkengine.py``,
+has no dedup/text analytics); same two-table precedent as
+``operators/decontam.py`` (gram hashes there, doc signatures here).
+
+Physical shape at 100 TB:
+
+* The index is (doc_id, content_hash, band, band_sig) at band grain —
+  ``bands`` rows per doc, built ONCE per snapshot by
+  :func:`band_signature_index` (one (doc, hash_idx) aggregate, no
+  join) and persisted.  Written partitioned/bucketed by
+  ``(band, band_sig)`` the join below needs NO index-side exchange.
+* Exact leg: the index collapses to DISTINCT (content_hash,
+  min doc_id) — an aggregate with map-side combine — then an
+  equi-join against the delta's content hashes.
+* Near leg: the delta's band signatures (same chain as the index)
+  equi-join the index on (band, band_sig); AQE skew-splits hot
+  boilerplate buckets.  With ``broadcast_new=True`` (the right call
+  when the delta fits executor memory — the typical nightly case) the
+  DELTA side broadcasts, the multi-TB index streams map-side, and the
+  full index is never shuffled at all: one pass over the index, the
+  only remaining exchanges are the |delta|-sized result aggregates.
+* Both legs aggregate to ONE row per new document; no all-pairs path
+  exists anywhere (the band join is the lsh_candidate_pairs geometry,
+  inheriting its boilerplate-bucket considerations — cap giant buckets
+  at index-build time if the corpus needs it).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from radarpipeline_spark.operators.dedup import band_signatures, h60
+
+
+def band_signature_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    shingle_hash: str = "mix",
+) -> DataFrame:
+    """The persisted cross-snapshot index: (doc_id, content_hash,
+    band, band_sig) at band grain (``bands`` rows per document).
+
+    ``content_hash`` (h60 of the raw text, the ``exact_dedup`` hash) is
+    carried on every band row so ONE table serves both the exact and
+    the near leg; it is derived in the same scan-stage projection as
+    the tokenization, so the text is read once.  Build once per
+    snapshot, append the survivors' rows after each incremental run,
+    and write partitioned/bucketed by (band, band_sig) so the next
+    delta's join needs no index-side exchange.
+    """
+    sigs = band_signatures(
+        df, text_col, id_col, n_hashes, bands, shingle_len, shingle_hash
+    )
+    hashes = df.select(
+        F.col(id_col), h60(text_col).alias("content_hash")
+    )
+    return hashes.join(sigs, id_col).select(
+        id_col, "content_hash", "band", "band_sig"
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    shingle_hash: str = "mix",
+    broadcast_new: bool = False,
+) -> DataFrame:
+    """Per-NEW-document dedup report against an existing snapshot
+    index (the output of :func:`band_signature_index`, typically read
+    back from its persisted table).
+
+    Output — one row per ``new`` document:
+
+    * ``exact_of`` — the minimum index doc id whose content hash
+      equals this document's (NULL when none): a byte-identical
+      re-crawl of an already-indexed page.
+    * ``n_cand`` — how many DISTINCT index documents share at least
+      one LSH band bucket with this document (near-duplicate
+      candidates; the lsh_candidate_pairs geometry across tables).
+    * ``near_of`` — the minimum such index doc id (NULL when none).
+    * ``status`` — 'exact_dup' / 'near_dup' / 'unique', the triage a
+      curation pipeline routes on (drop, verify-then-drop, keep).
+
+    ``broadcast_new`` broadcasts the DELTA side of both joins — the
+    production setting when the nightly delta fits executor memory:
+    the multi-TB index then streams through map-side hash joins and is
+    never shuffled (its aggregate legs pre-combine map-side to
+    |distinct content hash| and |matched pairs| rows respectively).
+    Signature parameters must match the ones the index was built with;
+    signatures are engine-deterministic (minhash mix fold), so
+    index-side signatures computed by an earlier snapshot run agree
+    bit-for-bit with delta-side signatures computed today.
+    """
+    new_hashes = new.select(F.col(id_col), h60(text_col).alias("__nh"))
+    new_sigs = band_signatures(
+        new, text_col, id_col, n_hashes, bands, shingle_len, shingle_hash
+    )
+    if broadcast_new:
+        new_hashes = F.broadcast(new_hashes)
+        new_sigs = F.broadcast(new_sigs)
+
+    # exact leg: index collapses to one row per distinct content first
+    # (map-side combine bounds the shuffle at |distinct contents|) —
+    # never join the raw band-grain index on content_hash, that would
+    # fan every new doc out `bands` times.
+    idx_hash = index.groupBy("content_hash").agg(
+        F.min(id_col).alias("exact_of")
+    )
+    exact = new_hashes.join(
+        idx_hash, new_hashes["__nh"] == idx_hash["content_hash"], "left"
+    ).select(id_col, "exact_of")
+
+    # near leg: band-bucket equi-join, then distinct index docs per
+    # new doc.  countDistinct carries a per-group hash set bounded by
+    # the doc's candidate count — fine because the band join already
+    # bounds candidates (giant boilerplate buckets are capped at
+    # index-build time when needed, same valve as lsh_candidate_pairs).
+    idx_sigs = index.select(
+        F.col(id_col).alias("__idx_id"), "band", "band_sig"
+    )
+    near = (
+        new_sigs.join(idx_sigs, ["band", "band_sig"])
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__idx_id").cast("long").alias("n_cand"),
+            F.min("__idx_id").alias("near_of"),
+        )
+    )
+
+    out = exact.join(near, id_col, "left")
+    return out.select(
+        id_col,
+        "exact_of",
+        F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).alias("n_cand"),
+        "near_of",
+        F.when(F.col("exact_of").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("n_cand") > 0, F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+    )
