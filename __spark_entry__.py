@@ -2982,6 +2982,62 @@ FROM exact e LEFT JOIN near nr ON e.doc_id = nr.doc_id
     return o
 
 
+# --- round 7: composed vocab -> prune -> score pipeline -------------------
+
+
+def q_tfidf_vocab(spark, sf_dir):
+    """Two-stage composition under one plan (the curation-pipeline
+    pattern applied to ranking): frequency vocabulary build (top-20 by
+    df, the vocab_top cut) -> broadcast-prune the postings to the
+    vocabulary -> per-doc TF-IDF rank over the surviving terms."""
+    from radarpipeline_spark.operators.ranking import tfidf_vocab_scored
+
+    return tfidf_vocab_scored(_docs(spark, sf_dir), vocab_k=20, top_n=3)
+
+
+_BASE_QUERIES21 = queries
+
+
+def queries():  # noqa: F811
+    q = _BASE_QUERIES21()
+    q["tfidf_vocab"] = q_tfidf_vocab
+    return q
+
+
+_BASE_ORACLES21 = oracle_sql
+
+
+def oracle_sql():  # noqa: F811
+    o = _BASE_ORACLES21()
+    o["tfidf_vocab"] = f"""
+WITH {_LT_CTE},
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(lt) AS BIGINT) AS dl, unnest(lt) AS term
+        FROM toks) u
+  GROUP BY doc_id, dl, term
+),
+v AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY term
+  ORDER BY df DESC, term ASC
+  LIMIT 20
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, v.df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (v.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN v USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored) r
+WHERE rnk <= 3
+"""
+    return o
+
+
 # --- registry ordering: keep every distinct operator family inside the
 # --- driver's 50-row correctness window --------------------------------
 #
