@@ -11,6 +11,22 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
 
+def test_plans_md_covers_registry():
+    """PLANS.md staleness guard (VERDICT r6 #4: the audit silently
+    shipped 56/57 rows after a late-landing query): every registry
+    query must have a table row in the committed PLANS.md."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.abspath(m.__file__)),
+                        "PLANS.md")
+    with open(path) as f:
+        text = f.read()
+    audited = set(re.findall(r"^\| (\w+)\s*†?\s*\|", text, re.M))
+    missing = set(m.queries()) - audited
+    assert not missing, f"PLANS.md missing rows for {sorted(missing)}"
+
+
 def test_entry_runs(spark):
     df = m.entry(spark)
     assert df.count() > 0
