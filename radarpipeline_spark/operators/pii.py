@@ -42,6 +42,16 @@ from pyspark.sql import DataFrame
 # local part matches its tail; a 200k-digit run scrubs as many
 # 20-char phones instead of one run) — pinned by
 # test_pii_adversarial_inputs_stay_linear.
+#
+# Scrub-coverage trade (ADVICE r6, accepted): on a >64-char local part
+# pii_scrub redacts only the trailing 64 chars + domain, leaving the
+# prefix bytes — such addresses are RFC-invalid (RFC 5321 §4.5.3.1
+# caps the local part at 64 octets) and the prefix alone is not a
+# deliverable address, so linearity in both engines is worth more
+# than total redaction of malformed inputs.  Deployments that want
+# belt-and-braces coverage can add a second regexp_replace pass
+# widening any match left over the same local-part charset; we keep
+# the single linear pass as the default.
 PII_PATTERNS: dict[str, str] = {
     "url": r"https?://[^ ]+",
     "email": r"[A-Za-z0-9._%+\-]{1,64}@[A-Za-z0-9.\-]{1,255}\.[A-Za-z]{2,24}",
