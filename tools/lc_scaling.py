@@ -297,12 +297,22 @@ def run_once(op: str, layout: str, corpus_path: str) -> dict:
     s1, j1 = _steal_jiffies()
     steal_pct = round(100.0 * (s1 - s0) / max(1, j1 - j0), 2)
     stages = stage_metrics(s)
+    # layout sanity: record how many executor JVMs actually served the
+    # job (the bug class this guards: a stale LocalSparkCluster worker
+    # inflating a 1-worker layout)
+    ui = s.sparkContext.uiWebUrl
+    appid = s.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{appid}/executors"
+    ) as r:
+        n_exec = sum(1 for e in json.load(r) if e["id"] != "driver")
     s.stop()
     sw = sum(x["swMB"] for x in stages)
     top = sorted(stages, key=lambda x: -x["swMB"])[:4]
     return {
         "op": op,
         "layout": layout,
+        "n_executors": n_exec,
         "sec": round(dt, 1),
         "shuffle_write_MB": round(sw, 1),
         "top_stages": top,
@@ -315,8 +325,19 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=3_000_000)
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
     ap.add_argument("--layouts", default="lc1x8,lc4x8")
+    ap.add_argument(
+        "--once",
+        nargs=2,
+        metavar=("OP", "LAYOUT"),
+        help="internal: run one (op, layout) in THIS process and print "
+        "one JSON line",
+    )
     args = ap.parse_args()
     corpus = f"/tmp/bench_corpus_{args.docs}.parquet"
+    if args.once:
+        op, layout = args.once
+        print(json.dumps(run_once(op, layout, corpus)), flush=True)
+        return
     _ensure_corpus(corpus, args.docs)
     ops_ = args.ops.split(",")
     layouts = args.layouts.split(",")
@@ -324,13 +345,47 @@ def main() -> None:
         _ensure_bucketed(corpus)
     os.makedirs("/dev/shm/spark-bench", exist_ok=True)
     rows = []
-    # interleave layouts per op (shared-host rule: co-tenant drift hits
-    # both layouts of an op equally instead of one whole sweep)
+    # ONE SUBPROCESS PER MEASUREMENT: sequential local-cluster sessions
+    # inside one python process are unreliable in Spark 4 (the driver
+    # JVM is reused; stale LocalSparkCluster workers race the next
+    # session's Master — observed a lc1x8 request surface 4 workers,
+    # and 'Shutdown hooks cannot be modified during shutdown' executor
+    # launch failures).  A fresh process per row also equalizes JIT
+    # state across rows.  Layouts interleave per op (shared-host rule:
+    # co-tenant drift hits both layouts of an op equally).
+    import subprocess
+
     for op in ops_:
         for layout in layouts:
-            r = run_once(op, layout, corpus)
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "-u",
+                    os.path.abspath(__file__),
+                    "--docs",
+                    str(args.docs),
+                    "--once",
+                    op,
+                    layout,
+                ],
+                capture_output=True,
+                text=True,
+            )
+            line = next(
+                (
+                    ln
+                    for ln in out.stdout.splitlines()
+                    if ln.startswith("{")
+                ),
+                None,
+            )
+            if line is None:
+                print(f"FAILED {op}@{layout}:\n{out.stderr[-2000:]}",
+                      flush=True)
+                continue
+            r = json.loads(line)
             rows.append(r)
-            print(json.dumps(r), flush=True)
+            print(line, flush=True)
     # markdown table for BASELINE.md
     print(f"\n| op | docs | " + " | ".join(
         f"{la} sec / shufMB" for la in layouts) + " | eff |")
