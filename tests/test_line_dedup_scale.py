@@ -90,3 +90,29 @@ def test_bucketed_source_zero_text_exchanges(spark, docs):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.sql("DROP TABLE IF EXISTS t_line_dedup_bucketed")
+
+
+def test_bucket_count_must_match_shuffle_partitions(spark, docs):
+    """The r7 gotcha, pinned: a table bucketed into FEWER buckets than
+    spark.sql.shuffle.partitions does NOT engage — Spark declines the
+    bucketed output partitioning (it would cap join parallelism at the
+    bucket count) and EnsureRequirements shuffles the text side anyway.
+    The 3M-doc probe measured a 64-bucket table under a 256-partition
+    session shipping the full 1.46 GB text exchange as if unbucketed."""
+    spark.sql("DROP TABLE IF EXISTS t_line_dedup_bucketed_small")
+    # session shuffle partitions is 4 (conftest); bucket into 2
+    docs.write.bucketBy(2, "doc_id").sortBy("doc_id").mode(
+        "overwrite"
+    ).format("parquet").saveAsTable("t_line_dedup_bucketed_small")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = line_dedup(spark.table("t_line_dedup_bucketed_small"))
+        text_ex, _ = _text_exchanges(out)
+        assert len(text_ex) == 1  # bucketing ignored -> text shuffles
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS t_line_dedup_bucketed_small")

@@ -75,7 +75,13 @@ LAYOUTS = {
 
 DEFAULT_OPS = ["simhash", "minhash_mix", "pii_stats", "pii_scrub", "line_dedup"]
 
-BUCKETS = 64
+# MUST equal the session's spark.sql.shuffle.partitions: with fewer
+# buckets than shuffle partitions Spark declines the bucketed output
+# partitioning (it would cap join parallelism at the bucket count) and
+# EnsureRequirements shuffles BOTH join sides anyway — measured: a
+# 64-bucket table under a 256-partition session still shipped the text
+# through Exchange hashpartitioning(doc_id, 256).
+BUCKETS = 256
 
 
 def _with_lines(df: DataFrame) -> DataFrame:
@@ -217,12 +223,21 @@ def build(op: str, spark: SparkSession, df: DataFrame) -> DataFrame:
     if op == "line_dedup_bucketed":
         from radarpipeline_spark.operators.curation import line_dedup
 
-        # read the doc_id-bucketed twin of the corpus (written by
+        # read the doc_id-bucketed twin of the corpus (files written by
         # _ensure_bucketed); the text side of the doc join then needs
-        # no exchange.  Broadcast is disabled so the join physically
-        # exercises the bucketed-SMJ path (at 100 TB per_doc is never
-        # broadcastable anyway).
+        # no exchange.  The in-memory catalog does not persist across
+        # processes, so re-register the EXTERNAL bucketed table over
+        # the existing files (bucket metadata lives in the catalog
+        # entry, not the parquet files).  Broadcast is disabled so the
+        # join physically exercises the bucketed-SMJ path (at 100 TB
+        # per_doc is never broadcastable anyway).
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS lc_corpus_bucketed "
+            "(doc_id BIGINT, text STRING) USING parquet "
+            f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {BUCKETS} "
+            "BUCKETS LOCATION '/tmp/lc_warehouse/lc_corpus_bucketed'"
+        )
         return line_dedup(_with_lines(spark.table("lc_corpus_bucketed")))
     raise SystemExit(f"unknown op {op}")
 
@@ -255,7 +270,13 @@ def _ensure_bucketed(corpus_path: str) -> None:
     s = _session("local[32]")
     s.sparkContext.setLogLevel("ERROR")
     (
+        # pre-repartition on the bucket key with partitions == buckets:
+        # repartition and bucketBy share the Murmur3 hash, so each task
+        # holds exactly one bucket's rows -> one file per bucket
+        # (unrepartitioned, every write task spills a file per bucket:
+        # 5k+ files at 64 buckets)
         s.read.parquet(corpus_path)
+        .repartition(BUCKETS, "doc_id")
         .write.bucketBy(BUCKETS, "doc_id")
         .sortBy("doc_id")
         .mode("overwrite")
