@@ -299,6 +299,9 @@ def stage_metrics(spark: SparkSession) -> list[dict]:
             "name": st["name"].split("\n")[0][:40],
             "swMB": round(st["shuffleWriteBytes"] / 1e6, 1),
             "srMB": round(st["shuffleReadBytes"] / 1e6, 1),
+            # executor-core-seconds actually burned in the stage — the
+            # number that localizes WHERE a layout's wall time went
+            "cpuSec": round(st.get("executorRunTime", 0) / 1e3, 1),
         }
         for st in data
         if st["status"] in ("COMPLETE", "ACTIVE")
