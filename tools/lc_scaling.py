@@ -220,6 +220,42 @@ def build(op: str, spark: SparkSession, df: DataFrame) -> DataFrame:
         return line_dedup_textshuffle(_with_lines(df))
     if op == "line_dedup_meta":
         return line_dedup_positions_only(_with_lines(df))
+    if op in ("dedup_incr_bcast", "dedup_incr_shuffle", "incr_index_build"):
+        from radarpipeline_spark.operators.incremental import (
+            band_signature_index,
+            incremental_dedup,
+        )
+
+        if op == "incr_index_build":
+            # the once-per-snapshot cost, measured separately: build
+            # the signature index over the full 3M corpus
+            return band_signature_index(df, n_hashes=16, bands=4)
+        # 3M-vs-100k cross-snapshot A/B (VERDICT r6 #5): index = the 3M
+        # corpus's PERSISTED signature index (the production shape — a
+        # snapshot index is built once and read back as a table; an
+        # inline rebuild would also double-execute the whole minhash
+        # subtree under AQE's exchange-reuse miss, measured 910 s at
+        # 1×8 vs ~tens of seconds against the persisted index), delta
+        # = the 100k corpus with shifted ids — the two generators are
+        # id-deterministic, so delta texts 0..100k reproduce index
+        # texts byte-identically (a re-crawl: the exact leg really
+        # fires) and the planted near-dup clusters exercise the band
+        # leg.  The arms differ only in the delta-side join strategy.
+        delta = (
+            spark.read.parquet("/tmp/bench_corpus_100000.parquet")
+            .select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+        idx = spark.read.parquet(INCR_INDEX_PATH)
+        return incremental_dedup(
+            delta,
+            idx,
+            n_hashes=16,
+            bands=4,
+            broadcast_new=op.endswith("bcast"),
+        )
     if op == "line_dedup_bucketed":
         from radarpipeline_spark.operators.curation import line_dedup
 
@@ -259,6 +295,26 @@ def _session(master: str) -> SparkSession:
             "spark.sql.warehouse.dir": "/tmp/lc_warehouse",
         },
     )
+
+
+INCR_INDEX_PATH = "/tmp/lc_incr_index.parquet"
+
+
+def _ensure_incr_index(corpus_path: str) -> None:
+    """Once per corpus: persist the cross-snapshot signature index
+    (the thing a production pipeline maintains between crawls)."""
+    if os.path.exists(os.path.join(INCR_INDEX_PATH, "_SUCCESS")):
+        return
+    from radarpipeline_spark.operators.incremental import (
+        band_signature_index,
+    )
+
+    s = _session("local[32]")
+    s.sparkContext.setLogLevel("ERROR")
+    band_signature_index(
+        s.read.parquet(corpus_path), n_hashes=16, bands=4
+    ).write.mode("overwrite").parquet(INCR_INDEX_PATH)
+    s.stop()
 
 
 def _ensure_bucketed(corpus_path: str) -> None:
@@ -367,6 +423,8 @@ def main() -> None:
     layouts = args.layouts.split(",")
     if "line_dedup_bucketed" in ops_:
         _ensure_bucketed(corpus)
+    if {"dedup_incr_bcast", "dedup_incr_shuffle"} & set(ops_):
+        _ensure_incr_index(corpus)
     os.makedirs("/dev/shm/spark-bench", exist_ok=True)
     rows = []
     # ONE SUBPROCESS PER MEASUREMENT: sequential local-cluster sessions
