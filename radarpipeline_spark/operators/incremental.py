@@ -38,7 +38,7 @@ Physical shape at 100 TB:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from radarpipeline_spark.operators.dedup import band_signatures, h60
 
@@ -51,6 +51,7 @@ def band_signature_index(
     bands: int = 4,
     shingle_len: int = 3,
     shingle_hash: str = "mix",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """The persisted cross-snapshot index: (doc_id, content_hash,
     band, band_sig) at band grain (``bands`` rows per document).
@@ -62,14 +63,44 @@ def band_signature_index(
     snapshot, append the survivors' rows after each incremental run,
     and write partitioned/bucketed by (band, band_sig) so the next
     delta's join needs no index-side exchange.
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    INDEX docs at build time — the same boilerplate-clique valve as
+    ``lsh_candidate_pairs`` (default 10_000 there too), and here it is
+    load-bearing at corpus scale: a boilerplate stratum collapses
+    short docs into a handful of signature buckets, and every future
+    delta's short-boilerplate docs would join ALL of them — measured
+    on the 3M-vs-100k probe: the uncapped band join wrote 7.3 GB of
+    candidate pairs from ONE stage before being killed, vs bounded
+    with the cap.  A dropped bucket means "similar only by
+    boilerplate"; byte-identical re-crawls of those docs are STILL
+    caught, because the exact content-hash leg does not ride the band
+    buckets.  Graded SF buckets sit orders of magnitude under the
+    default, so the driver oracle is unaffected; pass ``None`` to keep
+    every bucket.
     """
     sigs = band_signatures(
         df, text_col, id_col, n_hashes, bands, shingle_len, shingle_hash
     )
+    if max_bucket_size is not None:
+        # window, not aggregate+join-back: the counts leg would
+        # re-execute the minhash chain a second time under AQE's
+        # reuse miss, and the window's per-bucket work is a linear
+        # count strictly dominated by the joins it is pruning
+        # (lsh_candidate_pairs rationale, dedup.py)
+        wb = Window.partitionBy("band", "band_sig")
+        sigs = (
+            sigs.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     hashes = df.select(
         F.col(id_col), h60(text_col).alias("content_hash")
     )
-    return hashes.join(sigs, id_col).select(
+    # LEFT join from hashes: a doc whose every band bucket was capped
+    # away must keep its content_hash row (NULL band) so the exact
+    # leg still sees it in the index
+    return hashes.join(sigs, id_col, "left").select(
         id_col, "content_hash", "band", "band_sig"
     )
 

@@ -77,6 +77,39 @@ def test_broadcast_parity_and_plan(index, delta):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucket_cap_drops_clique_but_exact_leg_survives(spark):
+    """The boilerplate-clique valve (max_bucket_size): a bucket holding
+    more index docs than the cap is dropped at BUILD time, so a delta
+    doc similar only by boilerplate reports no near candidates — but a
+    byte-identical re-crawl of a capped doc is STILL caught, because
+    the exact content-hash leg does not ride the band buckets (the
+    left-join keeps every doc's content_hash row in the index)."""
+    clique = spark.createDataFrame(
+        [(i, "terms of service apply here") for i in range(6)]
+        + [(100, "entirely unrelated unique document text")],
+        "doc_id long, text string",
+    )
+    idx_capped = band_signature_index(clique, max_bucket_size=3, **SIG)
+    # the 6-doc clique's buckets exceed the cap -> only doc 100 keeps
+    # band rows; all 7 docs keep their content_hash (NULL band rows)
+    assert idx_capped.filter("band IS NOT NULL").select(
+        "doc_id"
+    ).distinct().count() == 1
+    assert idx_capped.select("doc_id").distinct().count() == 7
+
+    delta = spark.createDataFrame(
+        [(200, "terms of service apply here")], "doc_id long, text string"
+    )
+    out = incremental_dedup(delta, idx_capped, **SIG).collect()[0]
+    assert out.status == "exact_dup" and out.exact_of == 0
+    assert out.n_cand == 0  # the clique bucket is gone from the band leg
+
+    # uncapped control: the same delta doc sees the whole clique
+    idx_full = band_signature_index(clique, max_bucket_size=None, **SIG)
+    out_full = incremental_dedup(delta, idx_full, **SIG).collect()[0]
+    assert out_full.n_cand == 6
+
+
 def test_signature_params_roundtrip(spark, snapshot):
     """An index built in one 'snapshot run' agrees with delta-side
     signatures computed later: a doc deduped against itself is an
