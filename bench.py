@@ -37,6 +37,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "600000"))
 SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+# BENCH_QUERIES=0 skips the per-query sweep (iterating on the scaling /
+# skew sections without paying the ~10-minute sweep)
+QUERIES = os.environ.get("BENCH_QUERIES", "1") != "0"
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "2"))
 
 
@@ -291,13 +294,13 @@ def main() -> None:
     log(f"bench: sf_dir={SF_DIR} cores={CPUS}")
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = bench_queries(spark)
+    queries = bench_queries(spark) if QUERIES else {}
 
     # throughput of the flagship feature_vector over the sf input
     import __spark_entry__ as m
 
     n_turns = m.queries()["transcripts"](spark, SF_DIR).count()
-    fv_sec = queries.get("feature_vector", sum(queries.values()))
+    fv_sec = queries.get("feature_vector", sum(queries.values()) or None)
     spark.stop()
 
     result = {
@@ -312,8 +315,9 @@ def main() -> None:
     if SCALING:
         log("scaling run:")
         result["scaling"] = bench_scaling()
-        log("skew run:")
-        result["skew"] = bench_skew()
+        if os.environ.get("BENCH_SKEW", "1") != "0":
+            log("skew run:")
+            result["skew"] = bench_skew()
     print(json.dumps(result), flush=True)
 
 
