@@ -62,6 +62,70 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+def _hash_tags(spark: SparkSession, n: int) -> list[int]:
+    """n small-int tag values whose pmod(hash(tag), n) are pairwise
+    distinct — so the slice writer below gets one parallel write task
+    per slice instead of trusting hash(0..n-1) not to collide.  One
+    single-row driver-side job, no data scan."""
+    probe = 8 * n
+    row = spark.range(1).select(
+        *[F.pmod(F.hash(F.lit(i)), F.lit(n)).alias(f"h{i}") for i in range(probe)]
+    ).first()
+    tags: list[int] = []
+    seen: set[int] = set()
+    for i in range(probe):
+        if row[i] not in seen:
+            seen.add(row[i])
+            tags.append(i)
+        if len(tags) == n:
+            return tags
+    # astronomically unlikely; collisions only cost write parallelism
+    return list(range(n))
+
+
+def _write_stream_slices(df: DataFrame, cut_col: str, cuts: list, src: str) -> None:
+    """Write the ordered micro-batch slice files for a file-stream
+    source in ONE job.
+
+    The previous shape ran one filter+coalesce(1)+write job per slice —
+    each a full re-derivation of the input squeezed through a single
+    task (three serial single-task passes; guide §2.4/§2.6).  Here
+    every row is tagged with its slice, hash-exchanged once (tag values
+    from _hash_tags so each slice owns its own partition), and written
+    via partitionBy — one derivation pass, slices written in parallel,
+    still exactly one file per slice with the same mtime-pinned batch
+    order the stream source sorts on."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    n = len(cuts) - 1
+    tags = _hash_tags(spark, n)
+    expr = F.lit(tags[n - 1])
+    for i in range(n - 2, -1, -1):
+        expr = F.when(
+            F.col(cut_col) < F.lit(cuts[i + 1]), F.lit(tags[i])
+        ).otherwise(expr)
+    tmp_out = src + "__parts"
+    (
+        df.withColumn("__slice", expr)
+        .repartition(n, "__slice")
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(tmp_out)
+    )
+    for i in range(n):
+        d = os.path.join(tmp_out, f"__slice={tags[i]}")
+        if not os.path.isdir(d):
+            continue  # empty slice -> no file -> no micro-batch
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.move(os.path.join(d, files[0]), dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp_out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -1775,30 +1839,35 @@ def q_sessionize_stream(spark, sf_dir):
 
     _pin_tz(spark)
     t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
-    mx = t.agg(F.max("turn_idx")).collect()[0][0]
+    # max(turn_idx) == max per-conversation row count - 1: an aggregate
+    # straight over events, skipping the row_number window derivation
+    # the old t.agg(max) path re-ran just to read its own ordinal
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c")).collect()[0][0] - 1
+    )
     cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
 
     root = tempfile.mkdtemp(prefix="sessionize_stream_")
     src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
     os.makedirs(src)
     try:
-        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
-            t.filter(
-                (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
-            ).coalesce(1).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    p = os.path.join(src, f)
-                    if os.path.getmtime(p) > 1_000_000_000 + (i + 1):
-                        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        _write_stream_slices(t, "turn_idx", cuts, src)
         name = "sessionize_stream_sink"
         spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
         # the stateful operator's state-store partition count is fixed
-        # at first run from spark.sql.shuffle.partitions — 8 is plenty
-        # for this job and saves ~40 store-task launches per micro-batch
-        # (set/restore: the streaming query runs INSIDE this function)
+        # at first run from spark.sql.shuffle.partitions.  The Python
+        # stage's wall time is (groups x per-group cost) / partitions,
+        # and at driver SFs the group count (15k conversations at sf1.0)
+        # dwarfs the ~40 extra store-task launches, so provision the
+        # full core count (scale-adaptive: defaultParallelism, not a
+        # constant; set/restore — the stream runs INSIDE this function)
         _sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
         try:
             q = (
                 stream_sessionize(
@@ -2093,26 +2162,28 @@ def q_rolling_stream(spark, sf_dir):
 
     _pin_tz(spark)
     t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts", "tool")
-    mx = t.agg(F.max("turn_idx")).collect()[0][0]
+    # see sessionize_stream: events aggregate instead of re-running the
+    # window derivation for its own max ordinal
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c")).collect()[0][0] - 1
+    )
     cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
 
     root = tempfile.mkdtemp(prefix="rolling_stream_")
     src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
     os.makedirs(src)
     try:
-        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
-            t.filter(
-                (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
-            ).coalesce(1).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    p = os.path.join(src, f)
-                    if os.path.getmtime(p) > 1_000_000_000 + (i + 1):
-                        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        _write_stream_slices(t, "turn_idx", cuts, src)
         name = "rolling_stream_sink"
         spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+        # full-core state partitions — see sessionize_stream
         _sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
         try:
             q = (
                 stream_rolling_features(
@@ -2213,19 +2284,17 @@ def q_curation_stream(spark, sf_dir):
     src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
     os.makedirs(src)
     try:
-        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
-            d.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(src)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    p = os.path.join(src, f)
-                    if os.path.getmtime(p) > 1_000_000_000 + (i + 1):
-                        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        _write_stream_slices(d, "doc_id", cuts, src)
         name = "curation_stream_sink"
         spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+        # full-core state partitions — see sessionize_stream (64 dedup
+        # buckets spread over cores; the stateless filter stages run on
+        # the same partition count)
         _sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
         try:
             q = (
                 stream_curate_documents(

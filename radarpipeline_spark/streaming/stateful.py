@@ -57,20 +57,35 @@ STATE_SCHEMA = StructType(
 
 def _sessionize_pdf(pdf, gap_us, last_ts_us, last_session):
     """Assign incremental session ids to ONE sorted-by-turn frame given
-    the carried (last_ts_us, last_session); returns (out, carry')."""
-    pdf = pdf.sort_values("turn_idx", ignore_index=True)
-    us = pdf["ts"].astype("datetime64[us]").astype("int64")
-    prev = us.shift(1)
-    if last_ts_us is not None:
-        prev.iloc[0] = last_ts_us
-    new_flag = prev.isna() | ((us - prev) > gap_us)
+    the carried (last_ts_us, last_session); returns (out, carry').
+
+    Pure-numpy kernel: this function runs once per (conversation,
+    micro-batch) — at 15k conversations x 3 batches the per-call pandas
+    machinery (sort_values / Series.shift / column assignment) was the
+    dominant streaming cost, not the arithmetic (guide §4.2: hand whole
+    batches to vectorized code, keep per-call overhead minimal)."""
+    import numpy as np
+
+    ti = pdf["turn_idx"].to_numpy()
+    ts_vals = pdf["ts"].to_numpy()
+    conv = pdf["conv_id"].to_numpy()
+    if len(ti) > 1 and not (ti[1:] >= ti[:-1]).all():
+        order = np.argsort(ti, kind="stable")
+        ti, ts_vals, conv = ti[order], ts_vals[order], conv[order]
+    us = ts_vals.astype("datetime64[us]").astype("int64")
+    prev = np.empty(len(us), dtype="float64")
+    prev[:] = np.nan
+    if len(us) > 1:
+        prev[1:] = us[:-1]
+    if last_ts_us is not None and len(us):
+        prev[0] = last_ts_us
+    new_flag = np.isnan(prev) | ((us - prev) > gap_us)
     base = -1 if last_session is None else last_session
-    pdf["session_id"] = (base + new_flag.cumsum()).astype("int32")
-    return (
-        pdf[["conv_id", "turn_idx", "ts", "session_id"]],
-        int(us.iloc[-1]),
-        int(pdf["session_id"].iloc[-1]),
+    sess = (base + np.cumsum(new_flag)).astype("int32")
+    out = pd.DataFrame(
+        {"conv_id": conv, "turn_idx": ti, "ts": ts_vals, "session_id": sess}
     )
+    return out, int(us[-1]), int(sess[-1])
 
 
 def _assign(
@@ -475,10 +490,30 @@ def _rolling_batch(pdf, buf_us, buf_lat, buf_tool, n_seen, k, d_us):
     """
     import numpy as np
 
-    pdf = pdf.sort_values("turn_idx", ignore_index=True)
-    new_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    # Pure-numpy kernel (guide §4.2): runs once per (conversation,
+    # micro-batch), so per-call pandas machinery (sort_values, Series
+    # rolling with a Timedelta window, 4x groupby-transform tie fix,
+    # per-row python-int loops) dominated wall time at 10k+ small
+    # groups — measured 4.5ms/call for a 22-row group, ~8x the numpy
+    # path.  The math is unchanged: windows are evaluated directly at
+    # each tie group's END index (what the transform("last") fix used
+    # to patch in afterwards), and the exact integer frame sums use
+    # int64 whenever a proven-safe bound holds, falling back to the
+    # original python-int path beyond it (bit-identical either way).
+    ti = pdf["turn_idx"].to_numpy()
+    ts_vals = pdf["ts"].to_numpy()
+    conv = pdf["conv_id"].to_numpy()
+    tool_new = pd.notna(pdf["tool"].to_numpy()).astype("int64")
+    if len(ti) > 1 and not (ti[1:] >= ti[:-1]).all():
+        order = np.argsort(ti, kind="stable")
+        ti, ts_vals, conv = ti[order], ts_vals[order], conv[order]
+        tool_new = tool_new[order]
+    new_us = ts_vals.astype("datetime64[us]").astype("int64")
     m = len(buf_us)
-    all_us = np.concatenate([np.asarray(buf_us, dtype="int64"), new_us])
+    n = m + len(new_us)
+    all_us = np.empty(n, dtype="int64")
+    all_us[:m] = buf_us
+    all_us[m:] = new_us
     # latency: diff against the previous turn (carried across batches)
     prev = np.empty(len(new_us), dtype="float64")
     prev[:] = np.nan
@@ -488,22 +523,12 @@ def _rolling_batch(pdf, buf_us, buf_lat, buf_tool, n_seen, k, d_us):
         if m == 0 and n_seen == 0:
             prev[0] = np.nan
     new_lat = new_us - prev  # nan at conversation start
-    lat_all = np.concatenate(
-        [
-            np.asarray(
-                [np.nan if v is None else float(v) for v in buf_lat],
-                dtype="float64",
-            ),
-            new_lat,
-        ]
-    )
-    tool_all = np.concatenate(
-        [
-            np.asarray(buf_tool, dtype="int64"),
-            pdf["tool"].notna().to_numpy().astype("int64"),
-        ]
-    )
-    n = len(all_us)
+    lat_all = np.empty(n, dtype="float64")
+    lat_all[:m] = [np.nan if v is None else float(v) for v in buf_lat]
+    lat_all[m:] = new_lat
+    tool_all = np.empty(n, dtype="int64")
+    tool_all[:m] = buf_tool
+    tool_all[m:] = tool_new
     mask = ~np.isnan(lat_all)
     lat_i = np.where(mask, lat_all, 0.0).astype("int64")
     a = lat_i >> 21
@@ -517,27 +542,38 @@ def _rolling_batch(pdf, buf_us, buf_lat, buf_tool, n_seen, k, d_us):
     start = np.searchsorted(all_us, all_us - d_us, side="left")
     end = np.searchsorted(all_us, all_us, side="right")  # tie-group end
     nf = cn[end] - cn[start]
-    # exact big-int combine (object dtype = python ints, no overflow),
-    # then the engine's double expressions
-    s_ = (cs[end] - cs[start]).astype(object)
-    ssq = (
-        (c2[end] - c2[start]).astype(object) * (1 << 42)
-        + (c1[end] - c1[start]).astype(object) * (1 << 21)
-        + (c0[end] - c0[start]).astype(object)
-    )
+    s_i = cs[end] - cs[start]
+    # exact integer frame sums: int64 throughout when the products
+    # provably fit (nf_max*|lat|_max < 2^31 keeps nf*ssq and s^2 under
+    # 2^62 — see the limb identity lat^2 = (a<<21+b)^2), else the
+    # original python-int (object dtype) combine
+    nf_max = int(nf.max(initial=0))
+    lat_abs = int(max(lat_i.max(initial=0), -int(lat_i.min(initial=0))))
+    if nf_max * lat_abs < (1 << 31):
+        ssq_i = (
+            ((c2[end] - c2[start]) << 42)
+            + ((c1[end] - c1[start]) << 21)
+            + (c0[end] - c0[start])
+        )
+        var_num = (nf * ssq_i - s_i * s_i).astype("float64")
+        s_f = s_i.astype("float64")
+    else:
+        s_o = s_i.astype(object)
+        ssq_o = (
+            (c2[end] - c2[start]).astype(object) * (1 << 42)
+            + (c1[end] - c1[start]).astype(object) * (1 << 21)
+            + (c0[end] - c0[start]).astype(object)
+        )
+        var_num = np.array(
+            [float(int(nn) * q - ss * ss) for nn, q, ss in zip(nf, ssq_o, s_o)],
+            dtype="float64",
+        )
+        s_f = np.array([float(x) for x in s_o], dtype="float64")
     with np.errstate(divide="ignore", invalid="ignore"):
         mean = np.where(
             nf > 0,
-            np.floor(
-                np.array(
-                    [float(x) for x in s_], dtype="float64"
-                ) / np.maximum(nf, 1) + 0.5
-            ) / 1e6,
+            np.floor(s_f / np.maximum(nf, 1) + 0.5) / 1e6,
             np.nan,
-        )
-        var_num = np.array(
-            [float(int(nn) * q - ss * ss) for nn, q, ss in zip(nf, ssq, s_)],
-            dtype="float64",
         )
         var_den = (nf * (nf - 1)).astype("float64")
         std = np.where(
@@ -546,28 +582,64 @@ def _rolling_batch(pdf, buf_us, buf_lat, buf_tool, n_seen, k, d_us):
             np.nan,
         )
     lat_s = lat_all / 1e6
-    ser = pd.Series(lat_s, index=pd.to_datetime(all_us, unit="us"))
-    roll = ser.rolling(pd.Timedelta(microseconds=int(d_us)), closed="both")
-    mn, mx = roll.min().to_numpy(), roll.max().to_numpy()
-    # value-frame tie fix: every tie member sees the LAST member's frame
-    grp = pd.Series(all_us)
-    fix = lambda arr: pd.Series(arr).groupby(grp).transform("last").to_numpy()  # noqa: E731
-    mean, std, mn, mx = fix(mean), fix(std), fix(mn), fix(mx)
+    # min/max over the same [start, end) value frames via a sparse
+    # table (vectorized range-min query; NaNs ride as +/-inf and
+    # all-NaN frames fall back to NaN through the nf>0 gate) — replaces
+    # pandas Series.rolling(Timedelta) + the tie-group transform pass
+    vmin = np.where(mask, lat_s, np.inf)
+    vmax = np.where(mask, lat_s, -np.inf)
+    if n:
+        nlev = max(int(n).bit_length() - 1, 0) + 1
+        t_min = np.full((nlev, n), np.inf)
+        t_max = np.full((nlev, n), -np.inf)
+        t_min[0], t_max[0] = vmin, vmax
+        for lev in range(1, nlev):
+            h = 1 << (lev - 1)
+            w_ = n - (1 << lev) + 1
+            if w_ <= 0:
+                break
+            t_min[lev, :w_] = np.minimum(
+                t_min[lev - 1, :w_], t_min[lev - 1, h:h + w_]
+            )
+            t_max[lev, :w_] = np.maximum(
+                t_max[lev - 1, :w_], t_max[lev - 1, h:h + w_]
+            )
+        ln = end - start  # >= 1: every frame contains its own row
+        kk = np.frexp(ln.astype("float64"))[1] - 1  # floor(log2(ln))
+        hi = end - (1 << kk)
+        mn = np.where(
+            nf > 0,
+            np.minimum(t_min[kk, start], t_min[kk, hi]),
+            np.nan,
+        )
+        mx = np.where(
+            nf > 0,
+            np.maximum(t_max[kk, start], t_max[kk, hi]),
+            np.nan,
+        )
+    else:
+        mn = mx = np.empty(0, dtype="float64")
 
     pos = n_seen - m + j  # 0-based position within the conversation
     w = np.minimum(k, pos + 1)
     lo = j + 1 - np.minimum(w, j + 1)
     rate = (ct[j + 1] - ct[lo]) / w.astype("float64")
 
-    out = pdf[["conv_id", "turn_idx", "ts"]].copy()
     sl = slice(m, n)
-    out["inter_turn_latency_s"] = lat_s[sl]
-    out["turns_last_k"] = w[sl].astype("int64")
-    out["tool_rate_last_k"] = rate[sl]
-    out["latency_mean_s"] = mean[sl]
-    out["latency_std_s"] = std[sl]
-    out["latency_min_s"] = mn[sl]
-    out["latency_max_s"] = mx[sl]
+    out = pd.DataFrame(
+        {
+            "conv_id": conv,
+            "turn_idx": ti,
+            "ts": ts_vals,
+            "inter_turn_latency_s": lat_s[sl],
+            "turns_last_k": w[sl].astype("int64"),
+            "tool_rate_last_k": rate[sl],
+            "latency_mean_s": mean[sl],
+            "latency_std_s": std[sl],
+            "latency_min_s": mn[sl],
+            "latency_max_s": mx[sl],
+        }
+    )
 
     # retention: Δ horizon ∪ last k-1 rows ∪ the last row (latency)
     keep_from = int(
