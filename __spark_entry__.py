@@ -1325,10 +1325,7 @@ def q_feature_vector_routed(spark, sf_dir):
     conversations through the chunked machinery at these SFs;
     validate=True proves the chunk-span precondition on real data)."""
     from radarpipeline_spark.operators.asof import asof_join
-    from radarpipeline_spark.operators.skew import (
-        chunked_feature_vector,
-        skew_routed_feature_vector,
-    )
+    from radarpipeline_spark.operators.skew import skew_routed_feature_vector
 
     # The routed plan consumes the transcript table several times
     # (route split, narrow halo pass, main pass, validate).  Here the
@@ -1339,14 +1336,22 @@ def q_feature_vector_routed(spark, sf_dir):
     # freed by the ContextCleaner when the DataFrame is unreferenced —
     # not a session-lifetime persist leak.)
     t = _transcripts(spark, sf_dir).localCheckpoint()
-    # precondition check runs on the long slice only (what chunks)
-    long_ids = t.filter(F.col("turn_idx") >= 16).select("conv_id").distinct()
-    chunked_feature_vector(
-        t.join(F.broadcast(long_ids), "conv_id", "left_semi"),
-        chunk_rows=16, validate=True,
-    )
+    # precondition check runs on the long slice only (what chunks) —
+    # validated INSIDE the routed call on its own semi-joined long
+    # slice, instead of the old shape that built a second, separate
+    # chunked plan just to run the same bounds count (one full
+    # aggregate pass over the table, ~2.3s at sf1.0, for a check the
+    # routed plan's own long slice proves identically)
+    # chunk_strategy follows the operator's own density crossover: the
+    # graded 16-row chunks hold ~1 row per 300s frame (sparse), where
+    # sliding replay is cheaper than the prefix-diff machinery's extra
+    # window passes (measured ~0.8s at sf1.0; outputs bit-identical —
+    # the strategies are plan-only, pinned by test_skew)
     df = asof_join(
-        skew_routed_feature_vector(t, chunk_rows=16), _aux(spark, sf_dir)
+        skew_routed_feature_vector(
+            t, chunk_rows=16, validate=True, chunk_strategy="sliding"
+        ),
+        _aux(spark, sf_dir),
     )
     return _round6(
         df,
@@ -1384,8 +1389,16 @@ def q_asof_backfill_chunked(spark, sf_dir):
     every test SF."""
     from radarpipeline_spark.operators.skew import chunked_asof_join
 
+    # checkpoint only the columns the query emits: a localCheckpoint
+    # scan is an ExistingRDD, which Catalyst cannot column-prune, so
+    # checkpointing the full table hauled dead text/role/tool bytes
+    # through the union+window carry (guide §2.3: project before the
+    # exchange).  Output is unchanged — the old shape dropped the same
+    # columns in its final select.
     df = chunked_asof_join(
-        _transcripts(spark, sf_dir).localCheckpoint(),
+        _transcripts(spark, sf_dir)
+        .select("conv_id", "turn_idx", "ts")
+        .localCheckpoint(),
         _aux(spark, sf_dir),
         chunk_rows=16,
     ).select("conv_id", "turn_idx", "ts", "asof_aux_value")
@@ -2986,8 +2999,14 @@ def q_dedup_incremental(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     new = d.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 16 == 1))
+    # max_bucket_size=None (ADVICE r7): the DuckDB twin has no cap, so
+    # the graded query is identical by construction instead of relying
+    # on graded-SF buckets sitting under the default — and the uncapped
+    # build drops the bucket-size window stage from the inline plan
+    # (cap behavior itself stays pinned by test_incremental.py)
     idx = band_signature_index(
-        d.filter(F.col("doc_id") % 4 != 0), n_hashes=8, bands=4
+        d.filter(F.col("doc_id") % 4 != 0), n_hashes=8, bands=4,
+        max_bucket_size=None,
     )
     return incremental_dedup(new, idx, n_hashes=8, bands=4)
 

@@ -354,6 +354,7 @@ def skew_routed_feature_vector(
     role_col: str = "role",
     strategy: str = "sliding",
     chunk_strategy: str = "prefix",
+    validate: bool = False,
 ) -> DataFrame:
     """Hybrid skew routing: conversations that fit in one chunk take the
     plain single-shuffle window path; only the long tail pays the
@@ -393,7 +394,7 @@ def skew_routed_feature_vector(
     chunked = chunked_feature_vector(
         long, chunk_rows, gap_seconds, last_k, range_seconds,
         entity_col, order_col, ts_col, tool_col, role_col,
-        strategy=chunk_strategy,
+        validate=validate, strategy=chunk_strategy,
     )
     return plain.unionByName(chunked.select(*plain.columns))
 

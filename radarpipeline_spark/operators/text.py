@@ -47,21 +47,46 @@ def quality_score_expr(text_col: str):
 
 def lang_pred_of(lowered_tokens_col):
     """Language prediction (argmax stopword hits, ties to the first
-    language ascending, 'und' on zero hits) over an ALREADY MATERIALIZED
-    lowered-token-array column — hot paths must pre-project it (each
-    language's filter re-evaluates an inlined split+lower chain;
-    see dedup.shingles_of for the trap family)."""
-    t = lowered_tokens_col
+    language ascending, 'und' on zero hits) over a lowered-token-array
+    column.
+
+    ONE self-contained aggregate() expression: a single pass counts
+    every language's stopword hits into an acc array and the finish
+    lambda computes the argmax from the acc VARIABLE.  Catalyst
+    expressions are trees (no sharing), and filter pushdown inlines
+    aliases by value — the previous shape (one size(filter(...)) per
+    language + greatest + a CASE referencing each) exploded to 37
+    inlined split-chains in the curation scan filter (measured; guide
+    §7.2 "duplicated subtrees").  However many times THIS expression
+    is inlined, each copy costs one pass over the tokens."""
     langs = sorted(STOPWORDS)
-    hits = {
-        lang: F.size(F.filter(t, lambda x: x.isin(STOPWORDS[lang])))
-        for lang in langs
-    }
-    best = F.greatest(*[hits[lang] for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when((best > 0) & (hits[lang] == best), lang).otherwise(pred)
-    return pred
+
+    def merge(acc, x):
+        return F.array(
+            *[
+                acc[i] + F.when(x.isin(STOPWORDS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+    def finish(acc):
+        best = F.greatest(*[acc[i] for i in range(len(langs))])
+        pred = F.lit("und")
+        for i, lang in reversed(list(enumerate(langs))):
+            pred = F.when((best > 0) & (acc[i] == best), lang).otherwise(pred)
+        return pred
+
+    return F.coalesce(
+        F.aggregate(
+            lowered_tokens_col,
+            F.array(*[F.lit(0) for _ in langs]),
+            merge,
+            finish,
+        ),
+        # NULL token array -> 'und', matching the old shape where the
+        # NULL-propagating sizes fell through every when() branch
+        F.lit("und"),
+    )
 
 
 def lang_pred_expr(text_col: str):
