@@ -881,9 +881,14 @@ from radarpipeline_spark.operators import asof_join_pandas  # noqa: E402
 def q_asof_backfill_pandas(spark, sf_dir):
     """Same semantics as asof_backfill but through the cogrouped
     pd.merge_asof Arrow path — shares asof_backfill's oracle."""
-    df = asof_join_pandas(_transcripts(spark, sf_dir), _aux(spark, sf_dir)).select(
-        "conv_id", "turn_idx", "ts", "asof_aux_value"
-    )
+    # project to the emitted columns BEFORE the Arrow boundary: the
+    # cogroup ships every left column to Python and back (opaque to
+    # column pruning — guide §4.1), and text/role/tool were dropped
+    # right after anyway
+    df = asof_join_pandas(
+        _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts"),
+        _aux(spark, sf_dir),
+    ).select("conv_id", "turn_idx", "ts", "asof_aux_value")
     return _round6(df, "asof_aux_value")
 
 

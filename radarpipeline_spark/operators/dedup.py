@@ -324,10 +324,10 @@ def lsh_candidate_pairs(
     different-but-equally-valid banding; both variants carry DuckDB
     twins (``lsh_pairs`` pins md5, ``lsh_pairs_mix`` the default).
 
-    Peak-throughput note: the self-join below is barrier-free; with
-    ``spark.sql.adaptive.enabled=false`` ReuseExchange runs the minhash
-    leg once, while under AQE (the session default) the leg re-executes
-    — a deliberate, memory-safe 2x on a cheap leg (see inline note).
+    Peak-throughput note: the banded signatures are staged via a lazy
+    localCheckpoint before the self-join, so the minhash leg runs ONCE
+    regardless of AQE (which otherwise re-executes it per join side —
+    ReuseExchange misses the twin subtrees; see inline note).
 
     ``max_bucket_size`` drops band buckets holding more than that many
     docs before the self-join.  The corpus-scale bench exposed why this
@@ -370,6 +370,16 @@ def lsh_candidate_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    # lazy localCheckpoint: under AQE ReuseExchange does NOT fire for
+    # the self-join's twin subtrees, so both sides re-ran the whole
+    # minhash chain (the deliberate 2x noted above).  Staging the
+    # POST-AGGREGATE band signatures — docs x bands narrow rows, the
+    # smallest table in this operator, nothing like the exploded
+    # shingle leg the OOM note below concerns — runs the chain once;
+    # blocks are ContextCleaner-freed when the result is dropped, so
+    # no session-lifetime leak and no cross-run cache hit (measured
+    # at sf1.0: lsh_pairs 2.92->2.70s, _mix 2.87->2.21s).
+    band_sigs = band_sigs.localCheckpoint(eager=False)
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (

@@ -22,6 +22,22 @@ STOPWORDS = {
 }
 
 
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+_PUNCT = ".,;:!?"
+
+
+def _count_chars(text_col, charset: str):
+    """Count of ``charset`` characters in the column, via translate()
+    deletion instead of a regexp_replace: identical value ([A-Za-z]
+    etc. are literal ASCII sets, and both approaches count code
+    points), but a per-char map lookup instead of a regex NFA pass —
+    the three regexp_replace counts were 1.44s of text_stats' 2.4s at
+    sf1.0 (guide §1.2 per-task work)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(c) - F.length(F.translate(c, charset, ""))
+
+
 def n_tokens_expr(text_col: str):
     """Whitespace token count of ``text_col`` (reused by the curation
     pipeline so filters share the exact tokenization the oracle
@@ -34,7 +50,7 @@ def quality_score_expr(text_col: str):
     rounded value the text_stats oracle hash-grades, so filtering on it
     is ulp-safe cross-engine."""
     n_chars = F.length(text_col)
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_alpha = _count_chars(text_col, _ALPHA)
     return F.round(
         F.try_divide(n_alpha, n_chars)
         * F.least(
@@ -107,9 +123,9 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     df = df.select("*", F.size(tokens(text_col)).alias("__ntok"))
     t_size = F.col("__ntok")
     n_chars = F.length(text_col)
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_alpha = _count_chars(text_col, _ALPHA)
+    n_digit = _count_chars(text_col, _DIGIT)
+    n_punct = _count_chars(text_col, _PUNCT)
     n_tokens = t_size
     # BPE-ish subword segmentation proxy: alpha runs, digit runs, and
     # single non-alnum glyphs — the coarse split a byte-pair tokenizer

@@ -4,6 +4,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from radarpipeline_spark.operators.dedup import (
+    band_signatures,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -727,8 +728,18 @@ def test_shingle_plans_tokenize_once(spark, docs):
     # ngram: two self-join branches -> one split each (the inferred
     # filter would add a third)
     assert n_splits(ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=5)) == 2
-    # lsh: two branches over the minhash chain
-    assert n_splits(lsh_candidate_pairs(docs, n_hashes=8, bands=4)) == 2
+    # lsh: the banded signatures are staged behind a lazy
+    # localCheckpoint before the self-join (r8), so the visible plan
+    # tokenizes ZERO times — the one split lives in the checkpoint's
+    # own lineage, run exactly once for both sides.  Assert both
+    # halves: no split below the barrier, exactly one above it.
+    lsh = lsh_candidate_pairs(docs, n_hashes=8, bands=4)
+    assert n_splits(lsh) == 0
+    rdd_scans = lsh._jdf.queryExecution().optimizedPlan().toString().count(
+        "LogicalRDD"
+    )
+    assert rdd_scans == 2  # the staged band_sigs feeds both join sides
+    assert n_splits(band_signatures(docs, n_hashes=8, bands=4)) == 1
 
 
 def test_curation_lowered_tokens_materialized_once(spark):
