@@ -126,6 +126,60 @@ def _write_stream_slices(df: DataFrame, cut_col: str, cuts: list, src: str) -> N
     shutil.rmtree(tmp_out, ignore_errors=True)
 
 
+def _drain_stream(stream: DataFrame, name: str, root: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) through a
+    PARQUET sink and return the result as a materialized DataFrame.
+
+    Replaces the r7 memory sink: that one collected every output row
+    into the DRIVER per micro-batch (charged to batchDuration) and the
+    returned table was a LocalTableScan the noop sink re-serialized
+    single-threaded (guide §5: the driver should do no data work).
+    The parquet sink writes from the executors in parallel; the read-
+    back is one parallel scan pinned into block storage
+    (localCheckpoint, eager) so the result outlives the tmp dirs —
+    measured rolling_stream 12.2 -> 8.3s end-to-end at sf1.0.
+
+    The state-store partition count is fixed at first run from
+    spark.sql.shuffle.partitions.  The Python stage's wall time is
+    (groups x per-group cost) / partitions, and at driver SFs the
+    group count (15k conversations at sf1.0) dwarfs the extra
+    store-task launches, so provision the full core count
+    (scale-adaptive: defaultParallelism, not a constant; set/restore —
+    the stream runs INSIDE this function)."""
+    import os
+
+    spark = stream.sparkSession
+    ckpt, outdir = os.path.join(root, "ckpt"), os.path.join(root, "out")
+    _sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", outdir)
+            .queryName(f"{name}_sink")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _sp)
+    from radarpipeline_spark.streaming.audit import register
+
+    register(name, q)  # plan_audit: last batch
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    if n_batches < 2:
+        raise RuntimeError(
+            f"streaming run collapsed to {n_batches} micro-batch(es); "
+            "the multi-batch state-carry claim would be vacuous"
+        )
+    return spark.read.parquet(outdir).localCheckpoint()
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -1842,7 +1896,7 @@ def q_sessionize_stream(spark, sf_dir):
     per micro-batch via maxFilesPerTrigger=1), run through the stateful
     ``stream_sessionize`` operator (applyInPandasWithState — session
     ids carried across batches in state), drained with an availableNow
-    trigger into a memory sink, and returned as a plain DataFrame.  The
+    trigger into a parquet sink (read back as the result).  The
     oracle is the SAME SQL as the batch ``sessionize`` query, so the
     driver hash-grades streaming state semantics end-to-end.
 
@@ -1868,54 +1922,19 @@ def q_sessionize_stream(spark, sf_dir):
     cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
 
     root = tempfile.mkdtemp(prefix="sessionize_stream_")
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    src = os.path.join(root, "src")
     os.makedirs(src)
     try:
         _write_stream_slices(t, "turn_idx", cuts, src)
-        name = "sessionize_stream_sink"
-        spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-        # the stateful operator's state-store partition count is fixed
-        # at first run from spark.sql.shuffle.partitions.  The Python
-        # stage's wall time is (groups x per-group cost) / partitions,
-        # and at driver SFs the group count (15k conversations at sf1.0)
-        # dwarfs the ~40 extra store-task launches, so provision the
-        # full core count (scale-adaptive: defaultParallelism, not a
-        # constant; set/restore — the stream runs INSIDE this function)
-        _sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
+        out = _drain_stream(
+            stream_sessionize(
+                spark.readStream.schema(t.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            ),
+            "sessionize_stream",
+            root,
         )
-        try:
-            q = (
-                stream_sessionize(
-                    spark.readStream.schema(t.schema)
-                    .option("maxFilesPerTrigger", 1)
-                    .parquet(src)
-                )
-                .writeStream.format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", _sp)
-        from radarpipeline_spark.streaming.audit import register
-
-        register(name.removesuffix("_sink"), q)  # plan_audit: last batch
-        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        if n_batches < 2:
-            raise RuntimeError(
-                f"streaming run collapsed to {n_batches} micro-batch(es); "
-                "the multi-batch state-carry claim would be vacuous"
-            )
-        # the memory sink holds the rows driver-side — the table stays
-        # readable after the tmp source/checkpoint dirs vanish, so no
-        # collect/createDataFrame round-trip is needed
-        out = spark.table(name)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out.select("conv_id", "turn_idx", "ts", "session_id")
@@ -2164,7 +2183,7 @@ def q_rolling_stream(spark, sf_dir):
     ``stream_rolling_features`` operator — the Δ-horizon latency
     buffer, positional k-tail and exact integer-microsecond stat sums
     all carried across batches in state — drained with availableNow
-    into a memory sink.  The oracle is the SAME SQL as the batch
+    into a parquet sink.  The oracle is the SAME SQL as the batch
     ``rolling`` query, so the driver hash-grades the bounded-state
     streaming kernel end-to-end (the sessionize_stream pattern).
 
@@ -2190,47 +2209,21 @@ def q_rolling_stream(spark, sf_dir):
     cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
 
     root = tempfile.mkdtemp(prefix="rolling_stream_")
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    src = os.path.join(root, "src")
     os.makedirs(src)
     try:
         _write_stream_slices(t, "turn_idx", cuts, src)
-        name = "rolling_stream_sink"
-        spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-        # full-core state partitions — see sessionize_stream
-        _sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
+        out = _drain_stream(
+            stream_rolling_features(
+                spark.readStream.schema(t.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                last_k=10,
+                range_seconds=300,
+            ),
+            "rolling_stream",
+            root,
         )
-        try:
-            q = (
-                stream_rolling_features(
-                    spark.readStream.schema(t.schema)
-                    .option("maxFilesPerTrigger", 1)
-                    .parquet(src),
-                    last_k=10,
-                    range_seconds=300,
-                )
-                .writeStream.format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", _sp)
-        from radarpipeline_spark.streaming.audit import register
-
-        register(name.removesuffix("_sink"), q)  # plan_audit: last batch
-        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        if n_batches < 2:
-            raise RuntimeError(
-                f"streaming run collapsed to {n_batches} micro-batch(es); "
-                "the multi-batch state-carry claim would be vacuous"
-            )
-        out = spark.table(name)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     out = out.select(
@@ -2276,7 +2269,7 @@ def q_curation_stream(spark, sf_dir):
     dedup FIRST (state = array of seen content hashes per bucket,
     carried across batches), then the token/quality/language filters
     and the deterministic sample on its survivors — and drained with
-    availableNow into a memory sink.  The oracle is the SAME SQL as
+    availableNow into a parquet sink.  The oracle is the SAME SQL as
     the batch ``curation`` query, so the driver hash-grades the
     dedup-first stage reorder AND the cross-batch state semantics
     end-to-end.
@@ -2299,53 +2292,25 @@ def q_curation_stream(spark, sf_dir):
     cuts = [0, mx // 3 + 1, 2 * mx // 3 + 1, mx + 1]
 
     root = tempfile.mkdtemp(prefix="curation_stream_")
-    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    src = os.path.join(root, "src")
     os.makedirs(src)
     try:
         _write_stream_slices(d, "doc_id", cuts, src)
-        name = "curation_stream_sink"
-        spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-        # full-core state partitions — see sessionize_stream (64 dedup
-        # buckets spread over cores; the stateless filter stages run on
-        # the same partition count)
-        _sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
+        out = _drain_stream(
+            stream_curate_documents(
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                min_tokens=6,
+                min_quality=0.35,
+                langs=["en", "de", "fr"],
+                dedup=True,
+                sample_pct=60,
+                dedup_buckets=64,
+            ),
+            "curation_stream",
+            root,
         )
-        try:
-            q = (
-                stream_curate_documents(
-                    spark.readStream.schema(d.schema)
-                    .option("maxFilesPerTrigger", 1)
-                    .parquet(src),
-                    min_tokens=6,
-                    min_quality=0.35,
-                    langs=["en", "de", "fr"],
-                    dedup=True,
-                    sample_pct=60,
-                    dedup_buckets=64,
-                )
-                .writeStream.format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", _sp)
-        from radarpipeline_spark.streaming.audit import register
-
-        register(name.removesuffix("_sink"), q)  # plan_audit: last batch
-        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        if n_batches < 2:
-            raise RuntimeError(
-                f"streaming run collapsed to {n_batches} micro-batch(es); "
-                "the multi-batch state-carry claim would be vacuous"
-            )
-        out = spark.table(name)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out.select("doc_id", "lang_pred", "n_tokens", "quality_score")
