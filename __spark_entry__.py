@@ -62,20 +62,37 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+def _mm3_int(v: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32 block — EXACTLY Spark's
+    ``hash(int_col)`` (same c1/c2/rotations/fmix, seed 42, length 4),
+    so slice tags can be picked driver-side with zero Spark jobs.
+    Pinned against F.hash in tests/test_entry_contract.py."""
+    rotl = lambda x, r: ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF  # noqa: E731
+    k = (v & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k = rotl(k, 15) * 0x1B873593 & 0xFFFFFFFF
+    h = seed ^ k
+    h = (rotl(h, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # input length in bytes
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
 def _hash_tags(spark: SparkSession, n: int) -> list[int]:
     """n small-int tag values whose pmod(hash(tag), n) are pairwise
     distinct — so the slice writer below gets one parallel write task
-    per slice instead of trusting hash(0..n-1) not to collide.  One
-    single-row driver-side job, no data scan."""
-    probe = 8 * n
-    row = spark.range(1).select(
-        *[F.pmod(F.hash(F.lit(i)), F.lit(n)).alias(f"h{i}") for i in range(probe)]
-    ).first()
+    per slice instead of trusting hash(0..n-1) not to collide.
+    Computed driver-side via the exact Murmur3 Spark's hash() uses
+    (no job; the original probe ran a one-row Spark job per query)."""
     tags: list[int] = []
     seen: set[int] = set()
-    for i in range(probe):
-        if row[i] not in seen:
-            seen.add(row[i])
+    for i in range(8 * n):
+        p = _mm3_int(i) % n  # pmod: python % is already non-negative
+        if p not in seen:
+            seen.add(p)
             tags.append(i)
         if len(tags) == n:
             return tags
@@ -126,7 +143,9 @@ def _write_stream_slices(df: DataFrame, cut_col: str, cuts: list, src: str) -> N
     shutil.rmtree(tmp_out, ignore_errors=True)
 
 
-def _drain_stream(stream: DataFrame, name: str, root: str) -> DataFrame:
+def _drain_stream(
+    stream: DataFrame, name: str, root: str, partitions: int | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     PARQUET sink and return the result as a materialized DataFrame.
 
@@ -145,7 +164,12 @@ def _drain_stream(stream: DataFrame, name: str, root: str) -> DataFrame:
     group count (15k conversations at sf1.0) dwarfs the extra
     store-task launches, so provision the full core count
     (scale-adaptive: defaultParallelism, not a constant; set/restore —
-    the stream runs INSIDE this function)."""
+    the stream runs INSIDE this function).  ``partitions`` overrides
+    for stages whose GROUP count is far below the cores (bucketed
+    kernels): each state-store partition costs load/commit machinery
+    per micro-batch, so partitions past the group count are pure
+    overhead (measured on curation_stream's 64 buckets at sf1.0:
+    parts=32 4.6s vs parts=8 3.5s)."""
     import os
 
     spark = stream.sparkSession
@@ -153,7 +177,7 @@ def _drain_stream(stream: DataFrame, name: str, root: str) -> DataFrame:
     _sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
+        str(partitions or spark.sparkContext.defaultParallelism),
     )
     try:
         q = (
@@ -2310,6 +2334,12 @@ def q_curation_stream(spark, sf_dir):
             ),
             "curation_stream",
             root,
+            # 64 dedup buckets -> at most 64 stateful groups: size the
+            # state partitions to groups/8 (>=8 groups per store keeps
+            # per-partition store machinery amortized), capped at the
+            # core count — NOT the full defaultParallelism the
+            # conversation-keyed streams use (15k groups there)
+            partitions=min(spark.sparkContext.defaultParallelism, 64 // 8),
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

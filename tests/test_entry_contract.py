@@ -11,6 +11,19 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
 
+def test_mm3_int_matches_spark_hash(spark):
+    """The driver-side Murmur3 used by _hash_tags must equal Spark's
+    hash() bit-for-bit — slice tags are picked from it without a job,
+    and a silent mismatch would quietly cost slice-write parallelism
+    (never correctness: tags only route rows to write tasks)."""
+    import pyspark.sql.functions as F
+
+    row = spark.range(1).select(
+        *[F.hash(F.lit(i)).alias(f"h{i}") for i in range(32)]
+    ).first()
+    assert [row[i] for i in range(32)] == [m._mm3_int(i) for i in range(32)]
+
+
 def test_plans_md_covers_registry():
     """PLANS.md staleness guard (VERDICT r6 #4: the audit silently
     shipped 56/57 rows after a late-landing query): every registry
