@@ -629,11 +629,29 @@ def test_dedup_queries_release_their_blocks(spark, docs):
     unmanaged session-lifetime leak) and (b) storage that is NOT
     cleaner-managed checkpoint blocks.  Cleaner-managed blocks may
     linger until the JVM/py4j reference chain is collected; they are
-    bounded (output-scale tables) and owned."""
+    bounded (output-scale tables) and owned.
+
+    The cache-entry check is a DELTA against the session's state at
+    test start, not absolute emptiness: conftest's session-scoped
+    fixtures legitimately cache() their DataFrames, so under full-suite
+    ordering the CacheManager is non-empty before this test runs.  The
+    pinned property is that these operators ADD no entry that outlives
+    the call (transient persist+unpersist inside an operator, like
+    connected_components' adj table, is fine)."""
     from radarpipeline_spark.operators.dedup import dedup_clusters
 
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    def _non_ckpt_rdd_count():
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        n = 0
+        while it.hasNext():
+            if "localCheckpoint" not in it.next().getValue().toString():
+                n += 1
+        return n
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_baseline = cache_mgr.cachedData().size()
     baseline = _persistent_rdd_count(spark)
+    non_ckpt_baseline = _non_ckpt_rdd_count()
     for build in (
         lambda: lsh_candidate_pairs(docs, n_hashes=8, bands=4),
         lambda: ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.1),
@@ -642,17 +660,17 @@ def test_dedup_queries_release_their_blocks(spark, docs):
         out = build()
         out.collect()
         del out
-        # no unmanaged cache entries, ever
-        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        # no unmanaged cache entries added, ever
+        assert cache_mgr.cachedData().size() == cache_baseline, (
+            "operator left a CacheManager entry behind"
+        )
         if _wait_blocks_released(spark, baseline, timeout_s=20):
             continue  # fully released — the common case
-        # whatever lingers must be cleaner-managed checkpoint blocks
-        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
-        while it.hasNext():
-            desc = it.next().getValue().toString()
-            assert "localCheckpoint" in desc, (
-                f"non-checkpoint persistent RDD left behind: {desc}"
-            )
+        # whatever lingers beyond baseline must be cleaner-managed
+        # checkpoint blocks or the fixtures' own cached RDDs
+        assert _non_ckpt_rdd_count() <= non_ckpt_baseline, (
+            "non-checkpoint persistent RDD left behind by a dedup operator"
+        )
 
 
 def test_chunked_ops_release_their_blocks(spark):
