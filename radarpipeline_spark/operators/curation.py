@@ -148,10 +148,11 @@ def line_dedup(
     # F.split interprets its pattern as a Java regex while array_join
     # (and the DuckDB twin) treat ``sep`` literally — escape it so a
     # sep with regex metacharacters (e.g. '.') splits/rejoins
-    # consistently.  re.escape backslash-escapes exactly the
-    # non-word punctuation/whitespace chars, all of which Java regex
-    # accepts as literal escapes; for the default '\n' the escaped
-    # pattern is value-identical to the raw one.
+    # consistently.  re.escape backslash-escapes every non-word char
+    # including whitespace (Python >= 3.7), so for the default '\n'
+    # the escaped pattern is backslash+newline — NOT value-identical
+    # to the raw '\n', but semantically equivalent: Java regex treats
+    # a backslash before any non-alphanumeric char as that literal.
     sep_pat = re.escape(sep)
     lines = df.select(
         F.col(id_col),

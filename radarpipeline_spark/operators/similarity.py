@@ -210,6 +210,29 @@ def lsh_cosine_topk(
     )
 
 
+def _pair_block_indices(n_a: int, n_b: int, triangular: bool,
+                        target: int = 1 << 17):
+    """Yield (ia, ib) int index-array blocks covering the pair space —
+    all (i, j) for cross groups, i < j for triangular — with at most
+    ~``target`` pairs materialized per block (bounds kernel memory
+    regardless of group size)."""
+    import numpy as np
+
+    if n_a == 0 or n_b == 0:
+        return
+    a_blk = max(1, target // max(n_b, 1))
+    for i0 in range(0, n_a, a_blk):
+        i1 = min(i0 + a_blk, n_a)
+        ia = np.repeat(np.arange(i0, i1), n_b)
+        ib = np.tile(np.arange(n_b), i1 - i0)
+        if triangular:
+            keep = ia < ib
+            if not keep.any():
+                continue
+            ia, ib = ia[keep], ib[keep]
+        yield ia, ib
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -219,6 +242,8 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     allow_exact: bool = False,
+    pair_slices: int = 8,
+    pair_kernel: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     variant): all (a < b) pairs with cosine >= threshold.
@@ -230,6 +255,31 @@ def embedding_near_dup_pairs(
     sane on small/broadcastable corpora — it therefore requires an
     explicit ``allow_exact=True`` opt-in so nobody runs a quadratic
     join on a real corpus by calling with defaults (VERDICT r3 #4).
+
+    **Pair scoring (r8, guide §8/§4.2):** the bucketed path used to
+    evaluate the left-fold ``_dot`` inside the bucket join's condition —
+    an interpreted (CodegenFallback) HOF per candidate pair, measured
+    as ~95% of the cell (12.5M pair evals: pairs-only join 0.54s vs
+    9.8s with the HOF at 20k x 64).  Scoring now runs in a grouped
+    Arrow kernel that receives each VECTOR once per (bucket,
+    slice-pair) group — never one row per pair — and replays the exact
+    same float sequence in numpy: products in f8 (f4->f8 widening is
+    exact, the f8 multiply rounds like the JVM double multiply), then
+    a strict left fold from 0.0 via an explicit per-column add loop
+    (np.sum/np.cumsum would change the order).  Verified bit-identical
+    to the JVM expression on 12.5M real pairs and pinned by
+    tests/test_pipeline_ops.py::test_embedding_pair_kernel_bit_exact.
+
+    ``pair_slices`` is the skew/memory valve: each bucket's pair space
+    is tiled into slice-pair groups (vector slice = pmod(xxhash64(id),
+    s) — grouping only, so it needs no cross-engine replay), giving
+    s*(s+1)/2 independent tasks per bucket and per-task memory of two
+    bucket slices plus a bounded (131k-pair) scoring block — a giant
+    boilerplate bucket spreads over s^2/2 tasks instead of serializing
+    on one (the r5 unsplittable-partition lesson).  Each vector ships
+    s times (replication factor == the valve), still O(n*s) bytes vs
+    the O(pairs) rows the join shipped.  ``pair_kernel=False`` keeps
+    the previous JVM-expression join for A/B.
     """
     if n_planes == 0 and not allow_exact:
         raise ValueError(
@@ -253,6 +303,11 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
     )
+    if n_planes and pair_kernel:
+        return _bucketed_pairs_arrow(
+            corpus, threshold, id_col, vec_col, n_planes, seed, dim,
+            pair_slices,
+        )
     if n_planes:
         sig = hyperplane_signature
         a = a.withColumn("bucket", sig(F.col("va"), dim, n_planes, seed))
@@ -273,6 +328,208 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _bucketed_pairs_arrow(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+    dim: int,
+    pair_slices: int,
+) -> DataFrame:
+    """Grouped-Arrow scoring leg of :func:`embedding_near_dup_pairs`
+    (semantics documented there; the JVM twin is the ``pair_kernel=
+    False`` branch and the bit-exactness pin covers both)."""
+    s = max(1, int(pair_slices))
+    thr = float(threshold)
+
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        hyperplane_signature(
+            F.col(vec_col), dim, n_planes, seed
+        ).alias("bucket"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int").alias("sl"),
+    )
+    # A row of slice t participates in every group (min(t,u), max(t,u))
+    # for u in 0..s-1 — s groups, each unordered slice pair exactly one
+    # group, so each unordered ROW pair is scored exactly once.
+    gids = F.array(*[
+        (
+            F.least(F.col("sl"), F.lit(u)) * F.lit(s)
+            + F.greatest(F.col("sl"), F.lit(u))
+        )
+        for u in range(s)
+    ])
+    exploded = base.withColumn("gid", F.explode(gids)).select(
+        "bucket", "gid", "sl", "id", "v", "nrm"
+    )
+
+    def score_group(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema([
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("cosine_raw", pa.float64()),
+        ])
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "cosine_raw": pa.array([], pa.float64())},
+            schema=out_schema,
+        )
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        gid = tbl.column("gid")[0].as_py()
+        p, q = divmod(gid, s)
+        ids_arr = tbl.column("id").combine_chunks()
+        sl = tbl.column("sl").to_numpy(zero_copy_only=False)
+        nrm_arr = tbl.column("nrm").combine_chunks()
+        v = tbl.column("v").combine_chunks()
+
+        # offsets are kept ABSOLUTE into the full child values buffer
+        # (a sliced ListArray's .values is not sliced with it)
+        off = v.offsets.to_numpy()
+        lens = off[1:] - off[:-1]
+        vals = v.values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        # fill_null first: to_numpy would otherwise widen a null-bearing
+        # int64 id column to float64 (lossy past 2^53); filled rows are
+        # dropped by the validity mask below
+        ids_np = ids_arr.fill_null(0).to_numpy(zero_copy_only=False)
+        nrm = nrm_arr.fill_null(0.0).to_numpy(zero_copy_only=False)
+
+        # Rows the JVM expression can never score above the threshold:
+        # null id (id_a < id_b is null), null vector / null element /
+        # null norm (cosine is null).  Drop them up front.
+        valid = np.ones(n, dtype=bool)
+        if ids_arr.null_count:
+            valid &= np.asarray(ids_arr.is_valid())
+        if v.null_count:
+            valid &= np.asarray(v.is_valid())
+        if nrm_arr.null_count:
+            valid &= np.asarray(nrm_arr.is_valid())
+        if v.values.null_count:
+            elem_valid = np.asarray(v.values.is_valid())
+            row_ok = np.array([
+                bool(elem_valid[off[i]:off[i + 1]].all()) for i in range(n)
+            ])
+            valid &= row_ok
+
+        out_a, out_b, out_c = [], [], []
+        # zip_with pads unequal lengths with null -> null cosine ->
+        # dropped, so only same-length rows can pair: score per
+        # length class.
+        for L in np.unique(lens[valid]):
+            # L == 0 still scores: aggregate over [] = 0.0, cosine =
+            # 0/(0*0) = NaN, and Spark orders NaN above the threshold —
+            # the NaN branch of the keep mask reproduces that.
+            cls = valid & (lens == L)
+            idx = np.flatnonzero(cls)
+            if p == q:
+                rows = idx[sl[idx] == p]
+                M = _gather_rows(vals, off, rows, int(L), np)
+                _score_pairs(
+                    M, M, ids_np[rows], ids_np[rows], nrm[rows], nrm[rows],
+                    True, thr, out_a, out_b, out_c, np,
+                )
+            else:
+                rows_a = idx[sl[idx] == p]
+                rows_b = idx[sl[idx] == q]
+                Ma = _gather_rows(vals, off, rows_a, int(L), np)
+                Mb = _gather_rows(vals, off, rows_b, int(L), np)
+                _score_pairs(
+                    Ma, Mb, ids_np[rows_a], ids_np[rows_b],
+                    nrm[rows_a], nrm[rows_b],
+                    False, thr, out_a, out_b, out_c, np,
+                )
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine_raw": pa.array(
+                    np.concatenate(out_c), pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    scored = exploded.groupBy("bucket", "gid").applyInArrow(
+        score_group, "id_a long, id_b long, cosine_raw double"
+    )
+    # Rounding stays in the JVM: F.round is HALF_UP while numpy rounds
+    # half-to-even — the kernel emits the raw double it proved
+    # bit-identical, and the exact same round expression as the JVM
+    # branch produces the output column.
+    return scored.select(
+        "id_a", "id_b", F.round("cosine_raw", 6).alias("cosine")
+    )
+
+
+def _gather_rows(vals, off, rows, length, np):
+    """(len(rows), length) f8 matrix of the given variable-length rows
+    (all of length ``length``) out of the flat Arrow values buffer."""
+    if len(rows) == 0:
+        return np.empty((0, length), dtype=np.float64)
+    take = (
+        off[rows][:, None] + np.arange(length, dtype=off.dtype)[None, :]
+    ).ravel()
+    return vals[take].reshape(len(rows), length)
+
+
+def _score_pairs(Ma, Mb, ids_a, ids_b, na, nb, triangular, thr,
+                 out_a, out_b, out_c, np):
+    """Score all pairs between Ma rows and Mb rows (i < j when
+    triangular), appending survivors.  The float sequence per pair is
+    EXACTLY the JVM expression's: f8 elementwise products, left fold
+    from 0.0 in array order, one divide by (na*nb).  Two JVM
+    comparison/error semantics are mirrored deliberately: a ZERO
+    divisor (zero-norm vectors, or denormal norms whose product
+    underflows) raises, because the session runs Spark 4's default
+    ANSI mode where any division by zero is an error — the JVM branch
+    throws DIVIDE_BY_ZERO on the same inputs; and a NaN dividend over
+    a nonzero divisor yields NaN, which Spark orders ABOVE every
+    number, so NaN cosines pass the >= threshold filter there and
+    must survive here too."""
+    L = Ma.shape[1]
+    for ia, ib in _pair_block_indices(Ma.shape[0], Mb.shape[0], triangular):
+        # JVM join condition is (id_a < id_b) AND (cosine >= t) with
+        # short-circuit — same-id pairs never reach the division, so
+        # drop them BEFORE the ANSI zero-divisor check
+        distinct = ids_a[ia] != ids_b[ib]
+        if not distinct.all():
+            ia, ib = ia[distinct], ib[distinct]
+            if len(ia) == 0:
+                continue
+        P = Ma[ia] * Mb[ib]
+        acc = np.zeros(len(ia), dtype=np.float64)
+        for j in range(L):
+            acc += P[:, j]
+        div = na[ia] * nb[ib]
+        if (div == 0.0).any():
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero norm product in cosine scoring "
+                "(ANSI parity with the JVM expression branch)"
+            )
+        with np.errstate(invalid="ignore"):
+            cos = acc / div
+            keep = (cos >= thr) | np.isnan(cos)
+        if not keep.any():
+            continue
+        ka, kb, kc = ids_a[ia[keep]], ids_b[ib[keep]], cos[keep]
+        out_a.append(np.minimum(ka, kb))
+        out_b.append(np.maximum(ka, kb))
+        out_c.append(kc)
 
 
 # Fixed-point quantization scale for the IVF centroid sums.  A power
